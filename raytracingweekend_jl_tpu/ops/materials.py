@@ -1,0 +1,92 @@
+"""Fused scatter/shading stage — masked-blend material dispatch.
+
+The reference dispatches ``scatter`` dynamically on the material type of the
+hit object (reference: src/material.jl:13-53). With only three material kinds,
+the TPU-native form computes all three candidate scatter directions for every
+ray with shared random draws and blends by the integer material code — fully
+branch-free, vectorised, and differentiable through every continuous quantity
+(normals, hit points, albedos, fuzz, Schlick reflectance), with the discrete
+choices (material code, reflect-vs-refract coin, front-face flip) detached,
+matching the straight-through approach of differentiable ray tracers
+(RayTracer.jl, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene import Scene, LAMBERTIAN, METAL
+from .vecmath import dot, normalize, reflect, refract, reflectance, NEAR_ZERO_EPS
+from .sampling import unit_sphere_directions
+
+
+class ScatterResult(NamedTuple):
+    """Batch counterpart of the reference's ``Scatter`` (src/structs.jl:37-44).
+
+    The reference's ``reflected`` flag is always true in book 1
+    (SURVEY.md §2.6) so absorption is represented only by depth exhaustion;
+    we mirror that by having no absorb flag at all."""
+
+    origin: jnp.ndarray       # [R,3] new ray origins (the hit points)
+    direction: jnp.ndarray    # [R,3] new unit ray directions
+    attenuation: jnp.ndarray  # [R,3] throughput multiplier
+
+
+def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
+            t: jnp.ndarray, index: jnp.ndarray, key: jax.Array) -> ScatterResult:
+    """Scatter ``R`` rays that hit sphere ``index`` at parameter ``t``.
+
+    Rays that did not hit anything receive well-defined (finite) garbage here;
+    the integrator masks them out. ``t`` must already be finite for such rays.
+    """
+    dtype = origin.dtype
+    one = jnp.asarray(1.0, dtype)
+
+    # Hit point and outward normal (reference: src/hit.jl:3,32-34).
+    p = origin + t[..., None] * direction
+    center = scene.center[index].astype(dtype)              # [R,3]
+    radius = scene.radius[index].astype(dtype)              # [R]
+    # Signed radius: negative radius flips the outward normal → hollow shells
+    # (reference: src/hit.jl:33, src/scenes.jl:35-36).
+    inv_r = jnp.where(radius == 0, 0.0, jnp.reciprocal(jnp.where(radius == 0, one, radius)))
+    n_out = (p - center) * inv_r[..., None]
+    front_face = dot(direction, n_out) < 0                  # (reference: src/hit.jl:7)
+    n = jnp.where(front_face[..., None], n_out, -n_out)     # (reference: src/hit.jl:8)
+
+    k_dir, k_coin = jax.random.split(key)
+    u = unit_sphere_directions(k_dir, t.shape, dtype=dtype)     # shared unit sample
+    xi = jax.random.uniform(k_coin, t.shape, dtype=dtype)       # Schlick coin
+
+    # --- Lambertian (reference: src/material.jl:13-23) ---
+    lam_raw = n + u
+    lam_degenerate = jnp.sum(lam_raw * lam_raw, axis=-1) < NEAR_ZERO_EPS
+    lam_dir = jnp.where(lam_degenerate[..., None], n, normalize(lam_raw))
+
+    # --- Metal (reference: src/material.jl:25-34; fuzz NOT clamped) ---
+    refl = reflect(direction, n)
+    fuzz = scene.fuzz[index].astype(dtype)
+    metal_dir = normalize(refl + fuzz[..., None] * u)
+
+    # --- Dielectric (reference: src/material.jl:41-53) ---
+    ir = scene.ir[index].astype(dtype)
+    eta_ratio = jnp.where(front_face, jnp.reciprocal(ir), ir)
+    cos_theta = jnp.minimum(-dot(direction, n), one)
+    sin_theta = jnp.sqrt(jnp.maximum(one - cos_theta * cos_theta, 0.0))
+    cannot_refract = eta_ratio * sin_theta > one
+    schlick = reflectance(cos_theta, eta_ratio)
+    reflect_choice = cannot_refract | (schlick > xi)
+    refr_dir = refract(direction, n, eta_ratio)
+    diel_dir = jnp.where(reflect_choice[..., None], refl, refr_dir)
+
+    # --- Masked-blend dispatch (replaces Julia dynamic dispatch, SURVEY.md §1) ---
+    mat = scene.mat[index]
+    new_dir = jnp.where((mat == LAMBERTIAN)[..., None], lam_dir,
+                        jnp.where((mat == METAL)[..., None], metal_dir, diel_dir))
+    # Dielectric rows store albedo (1,1,1) (src/material.jl:42), so a single
+    # gather covers all three materials.
+    attenuation = scene.albedo[index].astype(dtype)
+
+    return ScatterResult(origin=p, direction=new_dir, attenuation=attenuation)

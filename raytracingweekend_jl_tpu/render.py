@@ -1,0 +1,125 @@
+"""Render driver — the host-facing ``render`` entry point.
+
+Reference semantics reproduced exactly (reference: src/render.jl:8-44):
+
+- ``image_height = image_width * 9 // 16`` (hardcoded 16:9, src/render.jl:11-12)
+  unless an explicit height is given;
+- pixel coordinates ``u = (j+1)/W``, ``v = (H-1-i)/H`` for 0-based (i, j) with
+  a Y-flip so row 0 is the top of the image (src/render.jl:26-27);
+- first sample per pixel centered, samples ≥ 2 jittered by ``U[0,1)/W``
+  (src/render.jl:29-36);
+- accumulate radiance, divide by n_samples, gamma-2 encode (src/render.jl:38-40).
+
+TPU-native structure: all pixels of a chunk are traced as one wavefront per
+sample, the sample loop is a ``lax.fori_loop`` inside a single jitted program,
+and pixel chunking bounds live ray-state HBM. The reference's
+``Threads.@threads`` row fork (src/render.jl:23) has no analog here — see
+``parallel/`` for the multi-chip shard_map version of this driver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng
+from .camera import Camera, get_rays
+from .ops.integrator import trace, DEFAULT_MAX_DEPTH
+from .ops.intersect import DEFAULT_TMIN
+from .ops.vecmath import gamma2_encode
+from .scene import Scene
+
+
+def image_height_for(image_width: int) -> int:
+    """Reference: ``image_width ÷ (16//9)`` (src/render.jl:11-12)."""
+    return image_width * 9 // 16
+
+
+def pixel_coords(image_width: int, image_height: int, dtype=jnp.float32):
+    """Flattened ``[H*W]`` film coordinates (u, v) in reference convention.
+
+    Julia's 1-based loops give ``u = j/W`` for j in 1..W and
+    ``v = (H-i)/H`` for i in 1..H (src/render.jl:26-27); with 0-based indices
+    that is ``u = (j+1)/W`` and ``v = (H-1-i)/H``. Row i=0 is the image top.
+    """
+    j = np.arange(image_width, dtype=np.float64)
+    i = np.arange(image_height, dtype=np.float64)
+    u = (j + 1.0) / image_width
+    v = (image_height - 1.0 - i) / image_height
+    uu, vv = np.meshgrid(u, v)  # [H, W]
+    return jnp.asarray(uu.ravel(), dtype), jnp.asarray(vv.ravel(), dtype)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
+                                   "f32_w", "f32_h"))
+def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
+                  key: jax.Array, n_samples: int, max_depth: int, tmin: float,
+                  remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
+    """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
+    dtype = u.dtype
+
+    def sample_body(s, accum):
+        key_s = jax.random.fold_in(key, s)
+        # Supersampling jitter: sample 0 centered, others jittered by U[0,1)/W.
+        # The reference divides by Float32(width) even in Float64 renders
+        # (src/render.jl:13-14,34-35) — immaterial numerically, we divide by
+        # the same value.
+        jit_uv = jax.random.uniform(rng.purpose_key(key_s, rng.PIXEL_JITTER),
+                                    (u.shape[0], 2), dtype=dtype)
+        scale = jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype)
+        jit_uv = jnp.where(s == 0, 0.0, jit_uv * scale)
+        us = u + jit_uv[:, 0]
+        vs = v + jit_uv[:, 1]
+        origin, direction = get_rays(cam, us, vs, rng.purpose_key(key_s, rng.LENS))
+        radiance = trace(scene, origin, direction,
+                         rng.purpose_key(key_s, rng.SCATTER_DIR),
+                         max_depth=max_depth, tmin=tmin, remat=remat)
+        return accum + radiance
+
+    accum = jax.lax.fori_loop(
+        0, n_samples, sample_body, jnp.zeros((u.shape[0], 3), dtype))
+    return accum / n_samples
+
+
+def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
+                    n_samples: int = 1, *, image_height: int | None = None,
+                    max_depth: int = DEFAULT_MAX_DEPTH, tmin: float = DEFAULT_TMIN,
+                    seed: int | jax.Array = 0, dtype=jnp.float32,
+                    pixel_chunk: int | None = None, remat: bool = False) -> jnp.ndarray:
+    """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``."""
+    H = image_height if image_height is not None else image_height_for(image_width)
+    W = image_width
+    u, v = pixel_coords(W, H, dtype=dtype)
+    key = seed if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key) \
+        else jax.random.PRNGKey(seed)
+
+    n_pix = H * W
+    if pixel_chunk is None or pixel_chunk >= n_pix:
+        out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
+                            tmin, remat, float(np.float32(W)), float(np.float32(H)))
+    else:
+        # Pad to a chunk multiple so every chunk compiles to the same program.
+        n_chunks = -(-n_pix // pixel_chunk)
+        pad = n_chunks * pixel_chunk - n_pix
+        u_p = jnp.pad(u, (0, pad))
+        v_p = jnp.pad(v, (0, pad))
+        pieces = []
+        for c in range(n_chunks):
+            sl = slice(c * pixel_chunk, (c + 1) * pixel_chunk)
+            pieces.append(_render_chunk(
+                scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
+                n_samples, max_depth, tmin, remat,
+                float(np.float32(W)), float(np.float32(H))))
+        out = jnp.concatenate(pieces, axis=0)[:n_pix]
+    return out.reshape(H, W, 3)
+
+
+def render(scene: Scene, cam: Camera, image_width: int = 400, n_samples: int = 1,
+           **kwargs) -> jnp.ndarray:
+    """Gamma-2 encoded image ``[H,W,3]`` in [0,1] — reference ``render``
+    (src/render.jl:8-9) re-idiomized; returns a float array rather than a
+    ``Matrix{RGB}``."""
+    return gamma2_encode(render_radiance(scene, cam, image_width, n_samples, **kwargs))
