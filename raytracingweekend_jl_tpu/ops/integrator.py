@@ -87,7 +87,7 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         return org, d, thr, rad, alive
 
     if remat:
-        body = jax.checkpoint(lambda b, st: body(b, st), prevent_cse=False)
+        body = jax.checkpoint(body, prevent_cse=False)
 
     init = (origin, direction,
             jnp.ones((R, 3), dtype),   # throughput

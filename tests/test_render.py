@@ -1,0 +1,121 @@
+"""Render-driver tests: smoke renders of every reference scene plus content
+assertions the reference never had (SURVEY.md §4: its smokes assert nothing)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingweekend_jl_tpu import (render, render_radiance, image_height_for,
+                                      pixel_coords, t_default_cam, t_cam1, t_cam2,
+                                      hollow_glass_cam, ALL_SCENES,
+                                      scene_2_spheres, scene_random_spheres)
+
+
+def test_image_height_formula():
+    # reference: image_width ÷ (16//9) (src/render.jl:11-12)
+    assert image_height_for(1920) == 1080
+    assert image_height_for(400) == 225
+    assert image_height_for(96) == 54
+    assert image_height_for(200) == 112
+
+
+def test_pixel_coords_convention():
+    u, v = pixel_coords(4, 2)
+    u = np.asarray(u).reshape(2, 4)
+    v = np.asarray(v).reshape(2, 4)
+    # u = (j+1)/W; v = (H-1-i)/H, row 0 is top (reference: src/render.jl:26-27).
+    np.testing.assert_allclose(u[0], [0.25, 0.5, 0.75, 1.0])
+    np.testing.assert_allclose(v[:, 0], [0.5, 0.0])
+
+
+@pytest.mark.parametrize("name", sorted(ALL_SCENES))
+def test_scene_smoke_renders(name):
+    scene = ALL_SCENES[name]()
+    cam = t_default_cam() if name != "random_spheres" else t_cam1()
+    img = np.asarray(render(scene, cam, 64, 2))
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
+
+
+def test_render_2_spheres_content():
+    # reference smoke config: render(scene_2_spheres, t_default_cam, 96, 16)
+    # (test/runtests.jl:194) — with actual content assertions.
+    img = np.asarray(render(scene_2_spheres(), t_default_cam(), 96, 16))
+    H, W, _ = img.shape
+    # Top row: sky gradient (blueish, b > r).
+    assert (img[0, :, 2] > img[0, :, 0]).all()
+    # Center: red-dominant diffuse sphere (albedo 0.7,0.3,0.3).
+    c = img[H // 2, W // 2]
+    assert c[0] > c[1] and c[0] > c[2]
+    # Lower third: yellow-green ground (albedo 0.8,0.8,0) → blue channel lowest.
+    g = img[-2, W // 2]
+    assert g[2] < g[0] and g[2] < g[1]
+
+
+def test_determinism_same_seed():
+    scene = scene_2_spheres()
+    a = np.asarray(render(scene, t_default_cam(), 64, 4, seed=123))
+    b = np.asarray(render(scene, t_default_cam(), 64, 4, seed=123))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_different_seed_differs():
+    scene = scene_2_spheres()
+    a = np.asarray(render(scene, t_default_cam(), 64, 4, seed=1))
+    b = np.asarray(render(scene, t_default_cam(), 64, 4, seed=2))
+    assert not np.array_equal(a, b)
+
+
+def test_spp1_centered_no_jitter_randomness():
+    # spp=1 uses only the centered sample; with aperture 0 the whole render is
+    # seed-independent (reference deterministic path, SURVEY.md §2.5).
+    scene = scene_2_spheres()
+    a = np.asarray(render(scene, t_default_cam(), 64, 1, seed=1))
+    b = np.asarray(render(scene, t_default_cam(), 64, 1, seed=99))
+    # Lambertian bounce dirs still consume RNG; only pure-specular/miss pixels
+    # are exactly equal. Sky rows must match bit-exactly:
+    np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_pixel_chunking_matches_unchunked_shape_and_stats():
+    scene = scene_2_spheres()
+    full = np.asarray(render_radiance(scene, t_default_cam(), 64, 2, seed=5))
+    chunked = np.asarray(render_radiance(scene, t_default_cam(), 64, 2, seed=5,
+                                         pixel_chunk=512))
+    assert full.shape == chunked.shape
+    # Different chunk→key mapping ⇒ statistically equal, not bitwise.
+    assert abs(full.mean() - chunked.mean()) < 0.01
+
+
+def test_explicit_height():
+    img = np.asarray(render(scene_2_spheres(), t_default_cam(), 64, 1,
+                            image_height=32))
+    assert img.shape == (32, 64, 3)
+
+
+def test_defocus_blurs_background():
+    # t_cam2 (aperture 2): with defocus the out-of-focus ground has higher
+    # local variance across seeds than an aperture-0 render. Cheap proxy:
+    # renders with different seeds differ substantially at spp=1 due to the
+    # lens sample (vs. bit-equal rows for aperture 0 sky).
+    from raytracingweekend_jl_tpu import scene_diel_spheres
+    scene = scene_diel_spheres()
+    a = np.asarray(render(scene, t_cam2(), 64, 1, seed=1))
+    b = np.asarray(render(scene, t_cam2(), 64, 1, seed=2))
+    assert not np.array_equal(a, b)
+
+
+def test_random_spheres_scene_shape():
+    scene = scene_random_spheres(seed=1)
+    # ~480 spheres + padding to multiple of 128 (SURVEY: ~480, src/scenes.jl:49-84)
+    n_real = int(np.sum(np.asarray(scene.radius) != 0))
+    assert 440 <= n_real <= 500
+    assert scene.n_spheres % 128 == 0
+
+
+def test_hollow_glass_renders():
+    from raytracingweekend_jl_tpu import scene_diel_spheres_hollow
+    img = np.asarray(render(scene_diel_spheres_hollow(), hollow_glass_cam(), 96, 8))
+    assert np.isfinite(img).all()
+    assert img.max() <= 1.0 + 1e-5
