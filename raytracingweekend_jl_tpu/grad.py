@@ -1,0 +1,87 @@
+"""Differentiable rendering — gradients of image losses w.r.t. scene parameters.
+
+The reference has no autodiff at all (SURVEY.md §2.9); this module supplies the
+north-star capability: ``grad(loss(render))`` w.r.t. sphere centers, radii, and
+albedos. Gradients flow through every continuous quantity (hit distance t, hit
+point, normal, attenuation products, Schlick reflectance, sky lerp) while the
+discrete events (closest-hit argmin, material code, reflect-vs-refract coin,
+front-face flip) are treated as detached choices — the straight-through
+estimator pattern of RayTracer.jl (PAPERS.md). Visibility/silhouette boundary
+terms are not estimated (interior gradients only), which is exactly what
+finite-difference tests validate away from silhouettes.
+
+The bounce loop is rematerialised (``remat=True`` → ``jax.checkpoint``) so the
+backward sweep recomputes per-bounce state instead of holding all 16 wavefront
+frontiers in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera
+from .render import render_radiance
+from .scene import Scene
+
+#: Fields of :class:`Scene` that are differentiable parameters.
+DIFF_FIELDS = ("center", "radius", "albedo", "fuzz", "ir")
+
+
+class SceneGrads(NamedTuple):
+    """Gradient pytree matching the differentiable subset of :class:`Scene`."""
+
+    center: jnp.ndarray
+    radius: jnp.ndarray
+    albedo: jnp.ndarray
+    fuzz: jnp.ndarray
+    ir: jnp.ndarray
+
+
+def _with_params(scene: Scene, params: SceneGrads) -> Scene:
+    return scene._replace(**params._asdict())
+
+
+def _params_of(scene: Scene) -> SceneGrads:
+    return SceneGrads(**{f: getattr(scene, f) for f in DIFF_FIELDS})
+
+
+def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
+                image_width: int, n_samples: int,
+                loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+                **kwargs) -> jnp.ndarray:
+    """Scalar image loss of a differentiable render against ``target`` [H,W,3]
+    (linear radiance, not gamma-encoded — compare in linear space)."""
+    img = render_radiance(scene, cam, image_width, n_samples, remat=True,
+                          image_height=target.shape[0], **kwargs)
+    if loss_fn is None:
+        return jnp.mean((img - target) ** 2)
+    return loss_fn(img, target)
+
+
+def render_grads(scene: Scene, cam: Camera, target: jnp.ndarray,
+                 image_width: int, n_samples: int, **kwargs
+                 ) -> tuple[jnp.ndarray, SceneGrads]:
+    """(loss, gradients w.r.t. every differentiable scene field)."""
+
+    def f(params: SceneGrads):
+        return render_loss(_with_params(scene, params), cam, target,
+                           image_width, n_samples, **kwargs)
+
+    loss, grads = jax.value_and_grad(f)(_params_of(scene))
+    return loss, grads
+
+
+def sgd_inverse_render_step(scene: Scene, cam: Camera, target: jnp.ndarray,
+                            image_width: int, n_samples: int, lr: float = 0.01,
+                            **kwargs) -> tuple[jnp.ndarray, Scene]:
+    """One gradient-descent step fitting scene parameters to a target image —
+    the single-chip version of the "training step" (see parallel/shard.py for
+    the sharded one)."""
+    loss, grads = render_grads(scene, cam, target, image_width, n_samples, **kwargs)
+    new_params = jax.tree.map(lambda p, g: p - lr * g, _params_of(scene),
+                              SceneGrads(*grads))
+    return loss, _with_params(scene, new_params)

@@ -80,12 +80,15 @@ def intersect_spheres(origin: jnp.ndarray, direction: jnp.ndarray, scene: Scene,
     c = oo[:, None] - 2.0 * oc + ck[None, :]
 
     disc = half_b * half_b - c                    # (reference: src/hit.jl:18, a == 1)
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Grad-safe sqrt: tangent hits (disc == 0) count as misses — a
+    # measure-zero deviation from the reference's `disc < 0 -> miss`
+    # (src/hit.jl:19) that buys NaN-free reverse mode.
+    sqrtd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
 
     root_near = -half_b - sqrtd                   # (reference: src/hit.jl:23)
     root_far = -half_b + sqrtd                    # (reference: src/hit.jl:25)
 
-    valid = disc >= 0
+    valid = disc > 0
     near_ok = valid & (root_near >= tmin) & (root_near <= tmax)
     far_ok = valid & (root_far >= tmin) & (root_far <= tmax)
     t_cand = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, big))

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..scene import Scene, LAMBERTIAN, METAL
-from .vecmath import dot, normalize, reflect, refract, reflectance, NEAR_ZERO_EPS
+from .vecmath import (dot, normalize, reflect, refract, reflectance, safe_sqrt,
+                      NEAR_ZERO_EPS)
 from .sampling import unit_sphere_directions
 
 
@@ -74,7 +75,7 @@ def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     ir = scene.ir[index].astype(dtype)
     eta_ratio = jnp.where(front_face, jnp.reciprocal(ir), ir)
     cos_theta = jnp.minimum(-dot(direction, n), one)
-    sin_theta = jnp.sqrt(jnp.maximum(one - cos_theta * cos_theta, 0.0))
+    sin_theta = safe_sqrt(one - cos_theta * cos_theta)
     cannot_refract = eta_ratio * sin_theta > one
     schlick = reflectance(cos_theta, eta_ratio)
     reflect_choice = cannot_refract | (schlick > xi)

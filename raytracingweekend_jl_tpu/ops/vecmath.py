@@ -44,6 +44,18 @@ def normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v * inv[..., None].astype(v.dtype)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt that is 0 with a *zero* gradient for x <= 0.
+
+    ``sqrt`` has an infinite derivative at 0; under masked (``where``) control
+    flow that manifests as ``0 * inf = NaN`` in reverse mode even for lanes the
+    forward pass never uses. Every sqrt fed by a clamped/discriminant quantity
+    must go through this.
+    """
+    pos = x > 0
+    return jnp.sqrt(jnp.where(pos, x, 1.0)) * pos
+
+
 def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Mirror reflection of ``v`` about unit normal ``n`` (reference: src/light.jl:6)."""
     return v - (2.0 * dot(v, n))[..., None] * n
@@ -59,7 +71,7 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarr
     one = jnp.asarray(1.0, d.dtype)
     cos_theta = jnp.minimum(-dot(d, n), one)
     r_perp = eta_ratio[..., None] * (d + cos_theta[..., None] * n)
-    r_par = -jnp.sqrt(jnp.abs(one - squared_length(r_perp)))[..., None] * n
+    r_par = -safe_sqrt(jnp.abs(one - squared_length(r_perp)))[..., None] * n
     return normalize(r_perp + r_par)
 
 

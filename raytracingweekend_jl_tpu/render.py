@@ -53,24 +53,29 @@ def pixel_coords(image_width: int, image_height: int, dtype=jnp.float32):
     return jnp.asarray(uu.ravel(), dtype), jnp.asarray(vv.ravel(), dtype)
 
 
-@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
-                                   "f32_w", "f32_h"))
-def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
-                  key: jax.Array, n_samples: int, max_depth: int, tmin: float,
-                  remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
-    """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
+def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
+                    key: jax.Array, n_samples: int, sample_offset, max_depth: int,
+                    tmin: float, remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
+    """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
+
+    The building block shared by the single-chip driver and the shard_map
+    driver (parallel/shard.py). ``sample_offset`` is the tile's first *global*
+    sample index — only global sample 0 takes the centered (un-jittered) path
+    (reference: src/render.jl:30-32), so sample-axis sharding preserves the
+    reference's sampling pattern. ``key`` must already be tile-specific.
+    """
     dtype = u.dtype
 
     def sample_body(s, accum):
-        key_s = jax.random.fold_in(key, s)
-        # Supersampling jitter: sample 0 centered, others jittered by U[0,1)/W.
-        # The reference divides by Float32(width) even in Float64 renders
-        # (src/render.jl:13-14,34-35) — immaterial numerically, we divide by
-        # the same value.
+        s_global = s + sample_offset
+        key_s = jax.random.fold_in(key, s_global)
+        # Supersampling jitter: global sample 0 centered, others jittered by
+        # U[0,1)/W. The reference divides by Float32(width) even in Float64
+        # renders (src/render.jl:13-14,34-35); we divide by the same value.
         jit_uv = jax.random.uniform(rng.purpose_key(key_s, rng.PIXEL_JITTER),
                                     (u.shape[0], 2), dtype=dtype)
         scale = jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype)
-        jit_uv = jnp.where(s == 0, 0.0, jit_uv * scale)
+        jit_uv = jnp.where(s_global == 0, 0.0, jit_uv * scale)
         us = u + jit_uv[:, 0]
         vs = v + jit_uv[:, 1]
         origin, direction = get_rays(cam, us, vs, rng.purpose_key(key_s, rng.LENS))
@@ -79,17 +84,34 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                          max_depth=max_depth, tmin=tmin, remat=remat)
         return accum + radiance
 
-    accum = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, n_samples, sample_body, jnp.zeros((u.shape[0], 3), dtype))
-    return accum / n_samples
+
+
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
+                                   "f32_w", "f32_h"))
+def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
+                  key: jax.Array, n_samples: int, max_depth: int, tmin: float,
+                  remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
+    """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
+    acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
+                          tmin, remat, f32_w, f32_h)
+    return acc / n_samples
 
 
 def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     n_samples: int = 1, *, image_height: int | None = None,
                     max_depth: int = DEFAULT_MAX_DEPTH, tmin: float = DEFAULT_TMIN,
-                    seed: int | jax.Array = 0, dtype=jnp.float32,
+                    seed: int | jax.Array = 0, dtype=None,
                     pixel_chunk: int | None = None, remat: bool = False) -> jnp.ndarray:
-    """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``."""
+    """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
+
+    ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
+    element type so float64 CPU renders and float32/bf16 TPU renders compose
+    without extra plumbing.
+    """
+    if dtype is None:
+        dtype = cam.origin.dtype
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
     u, v = pixel_coords(W, H, dtype=dtype)

@@ -1,0 +1,98 @@
+"""Autodiff vs finite-difference gradient tests — the north-star capability the
+reference lacks entirely (SURVEY.md §2.9, BASELINE.json north_star: "finite
+difference pixel gradients must match the autodiff gradients").
+
+Run in float64 (CPU x64 context) so central differences are trustworthy; the
+RNG key is fixed so the sampled light paths are identical across perturbations
+(interior gradients; silhouette boundary terms are intentionally not estimated).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracingweekend_jl_tpu import (make_scene, lambertian, metal, default_camera,
+                                      render_radiance, scene_2_spheres, t_default_cam)
+from raytracingweekend_jl_tpu.grad import (render_grads, render_loss, sgd_inverse_render_step,
+                                           _params_of, _with_params)
+
+
+def small_scene(dtype):
+    return make_scene([
+        lambertian((0, 0, -1), 0.5, (0.7, 0.3, 0.3)),
+        lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0)),
+        metal((1, 0, -1), 0.5, (0.8, 0.6, 0.2), 0.0),
+    ], dtype=dtype, pad_to=4)
+
+
+def fd_check(field, coord, eps, rtol, atol):
+    with jax.enable_x64(True):
+        dtype = jnp.float64
+        scene = small_scene(dtype)
+        cam = default_camera(dtype=dtype)
+        target = jnp.zeros((18, 32, 3), dtype)
+        kwargs = dict(image_width=32, n_samples=2, seed=7)
+
+        loss, grads = render_grads(scene, cam, target, **kwargs)
+        g_ad = np.asarray(getattr(grads, field))[coord]
+
+        def loss_at(delta):
+            arr = np.asarray(getattr(scene, field)).copy()
+            arr[coord] += delta
+            s2 = scene._replace(**{field: jnp.asarray(arr, dtype)})
+            return float(render_loss(s2, cam, target, **kwargs))
+
+        g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+        assert np.isfinite(g_ad)
+        np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=atol), (field, coord)
+
+
+def test_grad_albedo_matches_fd():
+    # Radiance is polynomial in albedo → FD matches tightly.
+    fd_check("albedo", (0, 0), eps=1e-4, rtol=1e-4, atol=1e-9)
+    fd_check("albedo", (1, 2), eps=1e-4, rtol=1e-4, atol=1e-9)
+
+
+def test_grad_center_matches_fd():
+    fd_check("center", (0, 2), eps=1e-5, rtol=2e-2, atol=1e-7)
+
+
+def test_grad_radius_matches_fd():
+    fd_check("radius", (0,), eps=1e-5, rtol=2e-2, atol=1e-7)
+
+
+def test_grad_fuzz_matches_fd():
+    fd_check("fuzz", (2,), eps=1e-5, rtol=2e-2, atol=1e-7)
+
+
+def test_grads_finite_on_full_scene():
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    target = jnp.zeros((18, 32, 3), jnp.float32)
+    loss, grads = render_grads(scene, cam, target, image_width=32, n_samples=2)
+    assert np.isfinite(float(loss))
+    for f in grads._fields:
+        g = np.asarray(getattr(grads, f))
+        assert np.isfinite(g).all(), f
+    # Albedo grad of the visible sphere must be nonzero.
+    assert np.abs(np.asarray(grads.albedo)[0]).max() > 0
+
+
+def test_inverse_render_step_reduces_loss():
+    # Fit albedo of a scene towards a target rendered with different albedo.
+    with jax.enable_x64(True):
+        dtype = jnp.float64
+        cam = default_camera(dtype=dtype)
+        target_scene = make_scene([lambertian((0, 0, -1), 0.5, (0.2, 0.8, 0.3)),
+                                   lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0))],
+                                  dtype=dtype, pad_to=4)
+        target = render_radiance(target_scene, cam, 32, 4, image_height=18, seed=3)
+        scene = make_scene([lambertian((0, 0, -1), 0.5, (0.5, 0.5, 0.5)),
+                            lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0))],
+                           dtype=dtype, pad_to=4)
+        losses = []
+        for i in range(5):
+            loss, scene = sgd_inverse_render_step(scene, cam, target, 32, 4,
+                                                  lr=2.0, seed=3)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
