@@ -49,10 +49,11 @@ def skycolor(direction: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - t)[..., None] * white + t[..., None] * skyblue
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "remat"))
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "remat", "keyed"))
 def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
           key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
-          tmin: float = DEFAULT_TMIN, remat: bool = False) -> jnp.ndarray:
+          tmin: float = DEFAULT_TMIN, remat: bool = False,
+          keyed: bool = False) -> jnp.ndarray:
     """Trace ``R`` primary rays to radiance ``[R,3]``.
 
     Args:
@@ -61,9 +62,12 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
       key: per-(chunk) RNG key; bounce b consumes ``fold_in(key, b)``.
       max_depth: maximum scatter events (reference default 16).
       remat: checkpoint the bounce body (use True under ``grad``).
+      keyed: per-ray slot-keyed RNG (position-independent draws; bit-matches
+        ``trace_compacted``; slightly more expensive than positional draws).
     """
     dtype = origin.dtype
     R = origin.shape[0]
+    slots = jnp.arange(R, dtype=jnp.int32) if keyed else None
 
     def body(b, state):
         org, d, thr, rad, alive = state
@@ -77,7 +81,8 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         # Hit: scatter. Clamp t for non-hitting rays to keep every lane finite
         # (NaN-under-where guard for reverse mode).
         t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
-        s = scatter(scene, org, d, t_safe, res.index, jax.random.fold_in(key, b))
+        s = scatter(scene, org, d, t_safe, res.index, jax.random.fold_in(key, b),
+                    slots=slots)
 
         live_hit = (alive & res.hit)[..., None]
         org = jnp.where(live_hit, s.origin, org)
@@ -97,3 +102,108 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     # Rays still alive after max_depth contribute black
     # (reference: src/ray_color.jl:15-17) — nothing to add.
     return radiance
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))
+def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
+                    key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
+                    tmin: float = DEFAULT_TMIN, tile: int = 16384) -> jnp.ndarray:
+    """Forward-only wavefront trace with active-ray compaction.
+
+    Matches :func:`trace` with ``keyed=True`` ray-for-ray to <=1 ulp (per-ray
+    randomness is slot-keyed so ray position is immaterial; the residual ulp
+    comes from XLA fusing the two programs differently), but every
+    bounce first partitions the wavefront so live rays occupy a dense prefix
+    (one stable multi-operand ``lax.sort`` keyed on deadness), then sweeps only
+    the ray tiles that overlap that prefix — each tile guarded by a scalar
+    ``lax.cond``, which XLA compiles to real control flow. With the flagship
+    scene's mean path length of ~5.3/16 bounces this skips ~2/3 of all
+    intersection work. Uses a ``while_loop`` with a global any-alive early
+    exit, so it is NOT reverse-differentiable — the grad path uses
+    :func:`trace` (remat=True).
+
+    The compaction replaces the reference's dynamic recursion exit
+    (src/ray_color.jl:31: each ray simply stops recursing) which a fixed-trip
+    SIMD wavefront cannot express per lane.
+    """
+    dtype = origin.dtype
+    R0 = origin.shape[0]
+    n_tiles = -(-R0 // tile)
+    R = n_tiles * tile
+    pad = R - R0
+
+    org = jnp.pad(origin, ((0, pad), (0, 0)))
+    d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=0.0)
+    d = d.at[R0:, 1].set(1.0) if pad else d  # harmless unit dirs for padding
+    thr = jnp.ones((R, 3), dtype)
+    rad = jnp.zeros((R, 3), dtype)
+    alive = (jnp.arange(R) < R0)
+    # Slot = original ray id; padding gets R0 (dropped by the final scatter).
+    slot = jnp.minimum(jnp.arange(R, dtype=jnp.int32), R0)
+
+    def compact(st):
+        org, d, thr, rad, alive, slot = st
+        dead = (~alive).astype(jnp.int32)
+        ops = (dead,
+               org[:, 0], org[:, 1], org[:, 2],
+               d[:, 0], d[:, 1], d[:, 2],
+               thr[:, 0], thr[:, 1], thr[:, 2],
+               rad[:, 0], rad[:, 1], rad[:, 2],
+               slot)
+        s = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)
+        col3 = lambda a, b, c: jnp.stack([a, b, c], axis=-1)
+        return (col3(s[1], s[2], s[3]), col3(s[4], s[5], s[6]),
+                col3(s[7], s[8], s[9]), col3(s[10], s[11], s[12]),
+                s[0] == 0, s[13])
+
+    key_of_bounce = lambda b: jax.random.fold_in(key, b)
+
+    def bounce(carry):
+        b, st = carry
+        st = jax.lax.cond(b > 0, compact, lambda s: s, st)
+        org, d, thr, rad, alive, slot = st
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+
+        def tile_body(i, st):
+            org, d, thr, rad, alive, slot = st
+            start = i * tile
+
+            def do(st):
+                org, d, thr, rad, alive, slot = st
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, tile)
+                o_t, d_t, thr_t, rad_t = sl(org), sl(d), sl(thr), sl(rad)
+                al_t, slot_t = sl(alive), sl(slot)
+
+                res = intersect_spheres(o_t, d_t, scene, tmin=tmin)
+                miss_now = al_t & ~res.hit
+                rad_t = rad_t + jnp.where(miss_now[..., None],
+                                          thr_t * skycolor(d_t), 0.0)
+                t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
+                s = scatter(scene, o_t, d_t, t_safe, res.index,
+                            key_of_bounce(b), slots=slot_t)
+                live_hit = (al_t & res.hit)[..., None]
+                o_t = jnp.where(live_hit, s.origin, o_t)
+                d_t = jnp.where(live_hit, s.direction, d_t)
+                thr_t = jnp.where(live_hit, thr_t * s.attenuation, thr_t)
+                al_t = al_t & res.hit
+
+                up = lambda a, t_: jax.lax.dynamic_update_slice_in_dim(a, t_, start, 0)
+                return (up(org, o_t), up(d, d_t), up(thr, thr_t),
+                        up(rad, rad_t), up(alive, al_t), slot)
+
+            return jax.lax.cond(start < n_alive, do, lambda s: s, st)
+
+        st = jax.lax.fori_loop(0, n_tiles, tile_body,
+                               (org, d, thr, rad, alive, slot))
+        return b + 1, st
+
+    def keep_going(carry):
+        b, st = carry
+        return (b < max_depth) & jnp.any(st[4])
+
+    _, (org, d, thr, rad, alive, slot) = jax.lax.while_loop(
+        keep_going, bounce, (jnp.int32(0), (org, d, thr, rad, alive, slot)))
+
+    # Un-permute: radiance back to original ray order (padding slot R0 drops).
+    out = jnp.zeros((R0, 3), dtype)
+    return out.at[slot].add(rad, mode="drop")

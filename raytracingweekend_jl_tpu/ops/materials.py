@@ -36,12 +36,36 @@ class ScatterResult(NamedTuple):
     attenuation: jnp.ndarray  # [R,3] throughput multiplier
 
 
+def _per_ray_draws(key: jax.Array, slots: jnp.ndarray, dtype):
+    """Counter-based per-ray randoms keyed by ray *slot* id.
+
+    Each ray's unit-sphere sample and Schlick coin are derived from
+    ``fold_in(key, slot)`` so the draws are invariant to where the ray
+    currently sits in the wavefront array — the property that makes compaction
+    and resharding bit-exact (SURVEY.md §2.5's counter-based RNG design).
+    """
+    def one_ray(k):
+        kd, kc = jax.random.split(k)
+        return jax.random.normal(kd, (3,), dtype=dtype), \
+            jax.random.uniform(kc, (), dtype=dtype)
+
+    g, xi = jax.vmap(one_ray)(jax.vmap(jax.random.fold_in, (None, 0))(key, slots))
+    sq = jnp.sum(g * g, axis=-1, keepdims=True)
+    u = g * jax.lax.rsqrt(jnp.maximum(sq, jnp.asarray(1e-20, dtype)))
+    return u, xi
+
+
 def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
-            t: jnp.ndarray, index: jnp.ndarray, key: jax.Array) -> ScatterResult:
+            t: jnp.ndarray, index: jnp.ndarray, key: jax.Array,
+            slots: jnp.ndarray | None = None) -> ScatterResult:
     """Scatter ``R`` rays that hit sphere ``index`` at parameter ``t``.
 
     Rays that did not hit anything receive well-defined (finite) garbage here;
     the integrator masks them out. ``t`` must already be finite for such rays.
+
+    ``slots``: optional per-ray ids; when given, randomness is keyed per slot
+    (position-independent — required for bit-exact compaction); when None,
+    draws are positional (one shaped draw for the whole batch — cheapest).
     """
     dtype = origin.dtype
     one = jnp.asarray(1.0, dtype)
@@ -57,9 +81,12 @@ def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     front_face = dot(direction, n_out) < 0                  # (reference: src/hit.jl:7)
     n = jnp.where(front_face[..., None], n_out, -n_out)     # (reference: src/hit.jl:8)
 
-    k_dir, k_coin = jax.random.split(key)
-    u = unit_sphere_directions(k_dir, t.shape, dtype=dtype)     # shared unit sample
-    xi = jax.random.uniform(k_coin, t.shape, dtype=dtype)       # Schlick coin
+    if slots is None:
+        k_dir, k_coin = jax.random.split(key)
+        u = unit_sphere_directions(k_dir, t.shape, dtype=dtype)  # shared unit sample
+        xi = jax.random.uniform(k_coin, t.shape, dtype=dtype)    # Schlick coin
+    else:
+        u, xi = _per_ray_draws(key, slots, dtype)
 
     # --- Lambertian (reference: src/material.jl:13-23) ---
     lam_raw = n + u

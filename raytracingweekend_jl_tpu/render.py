@@ -27,7 +27,7 @@ import numpy as np
 
 from . import rng
 from .camera import Camera, get_rays
-from .ops.integrator import trace, DEFAULT_MAX_DEPTH
+from .ops.integrator import trace, trace_compacted, DEFAULT_MAX_DEPTH
 from .ops.intersect import DEFAULT_TMIN
 from .ops.vecmath import gamma2_encode
 from .scene import Scene
@@ -55,7 +55,8 @@ def pixel_coords(image_width: int, image_height: int, dtype=jnp.float32):
 
 def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
-                    tmin: float, remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
+                    tmin: float, remat: bool, f32_w: float, f32_h: float,
+                    compact: bool = False) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -79,9 +80,16 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
         us = u + jit_uv[:, 0]
         vs = v + jit_uv[:, 1]
         origin, direction = get_rays(cam, us, vs, rng.purpose_key(key_s, rng.LENS))
-        radiance = trace(scene, origin, direction,
-                         rng.purpose_key(key_s, rng.SCATTER_DIR),
-                         max_depth=max_depth, tmin=tmin, remat=remat)
+        trace_key = rng.purpose_key(key_s, rng.SCATTER_DIR)
+        if compact:
+            # Forward-only fast path: active-ray compaction + keyed RNG
+            # (matches trace(keyed=True) to <=1 ulp).
+            radiance = trace_compacted(scene, origin, direction, trace_key,
+                                       max_depth=max_depth, tmin=tmin)
+        else:
+            radiance = trace(scene, origin, direction, trace_key,
+                             max_depth=max_depth, tmin=tmin, remat=remat,
+                             keyed=compact)
         return accum + radiance
 
     return jax.lax.fori_loop(
@@ -89,13 +97,14 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
-                                   "f32_w", "f32_h"))
+                                   "f32_w", "f32_h", "compact"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
-                  remat: bool, f32_w: float, f32_h: float) -> jnp.ndarray:
+                  remat: bool, f32_w: float, f32_h: float,
+                  compact: bool = False) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
-                          tmin, remat, f32_w, f32_h)
+                          tmin, remat, f32_w, f32_h, compact)
     return acc / n_samples
 
 
@@ -103,7 +112,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     n_samples: int = 1, *, image_height: int | None = None,
                     max_depth: int = DEFAULT_MAX_DEPTH, tmin: float = DEFAULT_TMIN,
                     seed: int | jax.Array = 0, dtype=None,
-                    pixel_chunk: int | None = None, remat: bool = False) -> jnp.ndarray:
+                    pixel_chunk: int | None = None, remat: bool = False,
+                    compact: bool = False) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -121,7 +131,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
     n_pix = H * W
     if pixel_chunk is None or pixel_chunk >= n_pix:
         out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
-                            tmin, remat, float(np.float32(W)), float(np.float32(H)))
+                            tmin, remat, float(np.float32(W)), float(np.float32(H)),
+                            compact)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -134,7 +145,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
             pieces.append(_render_chunk(
                 scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
                 n_samples, max_depth, tmin, remat,
-                float(np.float32(W)), float(np.float32(H))))
+                float(np.float32(W)), float(np.float32(H)), compact))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 
