@@ -1,0 +1,112 @@
+"""Command-line interface — the driver the reference runs as editable scripts
+(reference: src/proto/proto.jl; SURVEY.md §2.2 'Benchmark driver (CLI)').
+
+    python -m raytracingweekend_jl_tpu.cli --scene random_spheres --camera cam1 \
+        --width 1920 --spp 1000 --spp-chunk 50 --checkpoint ckpt.npz -o out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from .utils.config import RenderConfig, CAMERA_PRESETS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raytracingweekend_jl_tpu",
+                                description="TPU-native differentiable path tracer")
+    d = RenderConfig()
+    p.add_argument("--scene", default=d.scene,
+                   help="scene name (see models.scenes.ALL_SCENES)")
+    p.add_argument("--camera", default=d.camera, choices=CAMERA_PRESETS)
+    p.add_argument("--width", type=int, default=d.image_width)
+    p.add_argument("--height", type=int, default=None,
+                   help="default: width*9//16 (reference formula)")
+    p.add_argument("--spp", type=int, default=d.n_samples)
+    p.add_argument("--depth", type=int, default=d.max_depth)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--scene-seed", type=int, default=d.scene_seed)
+    p.add_argument("--precision", default=d.precision, choices=("f32", "f64"))
+    p.add_argument("--no-compact", action="store_true",
+                   help="disable active-ray compaction")
+    p.add_argument("--rays-per-pass", type=int, default=d.rays_per_pass)
+    p.add_argument("--mesh-tiles", type=int, default=d.mesh_tiles)
+    p.add_argument("--mesh-samples", type=int, default=d.mesh_samples)
+    p.add_argument("--tile-size", type=int, default=d.tile_size)
+    p.add_argument("--spp-chunk", type=int, default=d.spp_chunk,
+                   help=">0 enables chunked rendering with checkpoints")
+    p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+    p.add_argument("-o", "--output", default=d.output, help=".png or .ppm")
+    return p
+
+
+def config_from_args(args) -> RenderConfig:
+    return RenderConfig(
+        scene=args.scene, camera=args.camera, image_width=args.width,
+        image_height=args.height, n_samples=args.spp, max_depth=args.depth,
+        seed=args.seed, scene_seed=args.scene_seed, precision=args.precision,
+        compact=not args.no_compact, rays_per_pass=args.rays_per_pass,
+        mesh_tiles=args.mesh_tiles, mesh_samples=args.mesh_samples,
+        tile_size=args.tile_size, spp_chunk=args.spp_chunk,
+        checkpoint_path=args.checkpoint, output=args.output)
+
+
+def run(cfg: RenderConfig) -> dict:
+    import numpy as np
+    from .ops.vecmath import gamma2_encode
+    from .render import render_radiance, image_height_for
+    from .utils.image import write_png, write_ppm
+    from .utils.metrics import throughput_record, append_history
+
+    scene = cfg.build_scene()
+    cam = cfg.build_camera()
+    H = cfg.image_height or image_height_for(cfg.image_width)
+
+    t0 = time.time()
+    if cfg.spp_chunk > 0:
+        from .utils.checkpoint import render_checkpointed
+        state = render_checkpointed(
+            scene, cam, cfg.image_width, cfg.n_samples, image_height=cfg.image_height,
+            seed=cfg.seed, spp_chunk=cfg.spp_chunk,
+            checkpoint_path=cfg.checkpoint_path, max_depth=cfg.max_depth,
+            tmin=cfg.tmin, compact=cfg.compact, rays_per_pass=cfg.rays_per_pass,
+            progress=True)
+        linear = state.image
+    elif cfg.mesh_tiles * cfg.mesh_samples > 1:
+        from .parallel.mesh import make_render_mesh
+        from .parallel.shard import render_radiance_sharded
+        mesh = make_render_mesh(n_tiles=cfg.mesh_tiles, n_samples=cfg.mesh_samples)
+        linear = np.asarray(render_radiance_sharded(
+            scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
+            image_height=cfg.image_height, tile_size=cfg.tile_size,
+            max_depth=cfg.max_depth, tmin=cfg.tmin, seed=cfg.seed))
+    else:
+        linear = np.asarray(render_radiance(
+            scene, cam, cfg.image_width, cfg.n_samples,
+            image_height=cfg.image_height, max_depth=cfg.max_depth,
+            tmin=cfg.tmin, seed=cfg.seed, compact=cfg.compact,
+            rays_per_pass=cfg.rays_per_pass, dtype=cfg.dtype()))
+    wall = time.time() - t0
+
+    img = np.sqrt(np.clip(linear, 0.0, None))  # gamma-2 (reference src/vec.jl:22)
+    if cfg.output.endswith(".ppm"):
+        write_ppm(img, cfg.output)
+    else:
+        write_png(img, cfg.output)
+
+    rec = throughput_record(
+        f"{cfg.scene}_{cfg.image_width}x{H}x{cfg.n_samples}", wall,
+        cfg.image_width * H * cfg.n_samples, extra={"config": cfg.to_dict()})
+    append_history(rec)
+    print(json.dumps(rec))
+    return rec
+
+
+def main(argv=None) -> None:
+    run(config_from_args(build_parser().parse_args(argv)))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,10 +53,23 @@ def pixel_coords(image_width: int, image_height: int, dtype=jnp.float32):
     return jnp.asarray(uu.ravel(), dtype), jnp.asarray(vv.ravel(), dtype)
 
 
+def pick_samples_per_pass(n_pix: int, n_samples: int,
+                          rays_per_pass: int = 1 << 21) -> int:
+    """Largest divisor of ``n_samples`` whose merged wavefront stays under
+    ``rays_per_pass`` rays. Big wavefronts are the TPU analog of the
+    reference's busy 16-thread row loop: VPU utilization and compaction
+    granularity both need millions of rays in flight."""
+    best = 1
+    for d in range(1, n_samples + 1):
+        if n_samples % d == 0 and n_pix * d <= rays_per_pass:
+            best = d
+    return best
+
+
 def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
                     tmin: float, remat: bool, f32_w: float, f32_h: float,
-                    compact: bool = False) -> jnp.ndarray:
+                    compact: bool = False, samples_per_pass: int = 1) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -64,23 +77,35 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     sample index — only global sample 0 takes the centered (un-jittered) path
     (reference: src/render.jl:30-32), so sample-axis sharding preserves the
     reference's sampling pattern. ``key`` must already be tile-specific.
+
+    ``samples_per_pass`` merges that many samples of every pixel into ONE
+    wavefront (pixels x samples along the ray axis) so each trace call carries
+    millions of rays; with ``samples_per_pass == 1`` the RNG stream layout is
+    exactly the classic one-sample-per-pass scheme.
     """
     dtype = u.dtype
+    n_pix = u.shape[0]
+    spp = samples_per_pass
+    if n_samples % spp != 0:
+        raise ValueError(f"samples_per_pass={spp} must divide n_samples={n_samples}")
+    n_pass = n_samples // spp
+    scale = jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype)
 
-    def sample_body(s, accum):
-        s_global = s + sample_offset
-        key_s = jax.random.fold_in(key, s_global)
+    def pass_body(p, accum):
+        s0 = sample_offset + p * spp  # global index of this pass's first sample
+        key_p = jax.random.fold_in(key, s0)
+        # Per-ray global sample ids, sample-major: [spp * n_pix].
+        sid = s0 + jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_pix)
         # Supersampling jitter: global sample 0 centered, others jittered by
         # U[0,1)/W. The reference divides by Float32(width) even in Float64
         # renders (src/render.jl:13-14,34-35); we divide by the same value.
-        jit_uv = jax.random.uniform(rng.purpose_key(key_s, rng.PIXEL_JITTER),
-                                    (u.shape[0], 2), dtype=dtype)
-        scale = jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype)
-        jit_uv = jnp.where(s_global == 0, 0.0, jit_uv * scale)
-        us = u + jit_uv[:, 0]
-        vs = v + jit_uv[:, 1]
-        origin, direction = get_rays(cam, us, vs, rng.purpose_key(key_s, rng.LENS))
-        trace_key = rng.purpose_key(key_s, rng.SCATTER_DIR)
+        jit_uv = jax.random.uniform(rng.purpose_key(key_p, rng.PIXEL_JITTER),
+                                    (spp * n_pix, 2), dtype=dtype)
+        jit_uv = jnp.where((sid == 0)[:, None], 0.0, jit_uv * scale)
+        us = jnp.tile(u, spp) + jit_uv[:, 0]
+        vs = jnp.tile(v, spp) + jit_uv[:, 1]
+        origin, direction = get_rays(cam, us, vs, rng.purpose_key(key_p, rng.LENS))
+        trace_key = rng.purpose_key(key_p, rng.SCATTER_DIR)
         if compact:
             # Forward-only fast path: active-ray compaction + keyed RNG
             # (matches trace(keyed=True) to <=1 ulp).
@@ -88,23 +113,22 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                                        max_depth=max_depth, tmin=tmin)
         else:
             radiance = trace(scene, origin, direction, trace_key,
-                             max_depth=max_depth, tmin=tmin, remat=remat,
-                             keyed=compact)
-        return accum + radiance
+                             max_depth=max_depth, tmin=tmin, remat=remat)
+        return accum + radiance.reshape(spp, n_pix, 3).sum(axis=0)
 
     return jax.lax.fori_loop(
-        0, n_samples, sample_body, jnp.zeros((u.shape[0], 3), dtype))
+        0, n_pass, pass_body, jnp.zeros((n_pix, 3), dtype))
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
-                                   "f32_w", "f32_h", "compact"))
+                                   "f32_w", "f32_h", "compact", "samples_per_pass"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
-                  compact: bool = False) -> jnp.ndarray:
+                  compact: bool = False, samples_per_pass: int = 1) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
-                          tmin, remat, f32_w, f32_h, compact)
+                          tmin, remat, f32_w, f32_h, compact, samples_per_pass)
     return acc / n_samples
 
 
@@ -113,7 +137,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     max_depth: int = DEFAULT_MAX_DEPTH, tmin: float = DEFAULT_TMIN,
                     seed: int | jax.Array = 0, dtype=None,
                     pixel_chunk: int | None = None, remat: bool = False,
-                    compact: bool = False) -> jnp.ndarray:
+                    compact: bool = False,
+                    rays_per_pass: int | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -130,22 +155,26 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
 
     n_pix = H * W
     if pixel_chunk is None or pixel_chunk >= n_pix:
+        spp_pass = 1 if rays_per_pass is None else \
+            pick_samples_per_pass(n_pix, n_samples, rays_per_pass)
         out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
-                            compact)
+                            compact, spp_pass)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
         pad = n_chunks * pixel_chunk - n_pix
         u_p = jnp.pad(u, (0, pad))
         v_p = jnp.pad(v, (0, pad))
+        spp_pass = 1 if rays_per_pass is None else \
+            pick_samples_per_pass(pixel_chunk, n_samples, rays_per_pass)
         pieces = []
         for c in range(n_chunks):
             sl = slice(c * pixel_chunk, (c + 1) * pixel_chunk)
             pieces.append(_render_chunk(
                 scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
                 n_samples, max_depth, tmin, remat,
-                float(np.float32(W)), float(np.float32(H)), compact))
+                float(np.float32(W)), float(np.float32(H)), compact, spp_pass))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -1,0 +1,120 @@
+"""Checkpoint / resume for long renders.
+
+The reference renders monolithically in memory — a crash loses everything
+(reference: src/render.jl:15-43; SURVEY.md §5 'Checkpoint: None'). Here the
+sample dimension is chunked: after every chunk the accumulated *radiance sum*
+and the number of completed samples are snapshotted to ``.npz``; resuming
+continues the spp loop from the next chunk. Because global sample indices key
+the RNG streams (render.py) and passes start at multiples of
+``samples_per_pass``, a resumed render is sample-exact: interrupt at any chunk
+boundary and — for the same ``spp_chunk``/``rays_per_pass`` — the final image
+is identical to an uninterrupted chunked run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..render import (render_tile_sum, pixel_coords, image_height_for,
+                      pick_samples_per_pass)
+from ..scene import Scene
+
+
+@dataclass
+class RenderState:
+    """Accumulated render progress: sum of per-sample radiance + count."""
+
+    radiance_sum: np.ndarray  # [H, W, 3] float64 accumulation on host
+    samples_done: int
+    image_width: int
+    image_height: int
+    seed: int
+
+    @property
+    def image(self) -> np.ndarray:
+        """Current mean-radiance estimate (linear)."""
+        return self.radiance_sum / max(self.samples_done, 1)
+
+
+def save_state(state: RenderState, path: str) -> None:
+    tmp = path + ".tmp"
+    np.savez(tmp if tmp.endswith(".npz") else tmp,
+             radiance_sum=state.radiance_sum,
+             samples_done=state.samples_done,
+             image_width=state.image_width,
+             image_height=state.image_height,
+             seed=state.seed)
+    # numpy appends .npz to names without it
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def load_state(path: str) -> RenderState:
+    z = np.load(path)
+    return RenderState(radiance_sum=z["radiance_sum"],
+                       samples_done=int(z["samples_done"]),
+                       image_width=int(z["image_width"]),
+                       image_height=int(z["image_height"]),
+                       seed=int(z["seed"]))
+
+
+def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
+                        n_samples: int, *, image_height: int | None = None,
+                        seed: int = 0, spp_chunk: int = 50,
+                        checkpoint_path: str | None = None,
+                        max_depth: int = 16, tmin: float = 1e-4,
+                        compact: bool = True, rays_per_pass: int = 1 << 21,
+                        progress: bool = False) -> RenderState:
+    """Render ``n_samples`` in chunks of ``spp_chunk``, checkpointing after each.
+
+    If ``checkpoint_path`` exists, resumes from it. Sample-exact: chunk c
+    renders global samples [c*spp_chunk, ...) with RNG keyed on the global
+    sample index, so the union over chunks equals one long uninterrupted render.
+    """
+    H = image_height if image_height is not None else image_height_for(image_width)
+    W = image_width
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state = load_state(checkpoint_path)
+        if (state.image_width, state.image_height, state.seed) != (W, H, seed):
+            raise ValueError("checkpoint does not match render configuration")
+    else:
+        state = RenderState(np.zeros((H, W, 3)), 0, W, H, seed)
+
+    u, v = pixel_coords(W, H, dtype=cam.origin.dtype)
+    key = jax.random.PRNGKey(seed)
+    f32_w, f32_h = float(np.float32(W)), float(np.float32(H))
+
+    tile_sum = jax.jit(render_tile_sum,
+                       static_argnames=("n_samples", "max_depth", "tmin", "remat",
+                                        "f32_w", "f32_h", "compact",
+                                        "samples_per_pass"))
+
+    while state.samples_done < n_samples:
+        todo = min(spp_chunk, n_samples - state.samples_done)
+        spp_pass = pick_samples_per_pass(W * H, todo, rays_per_pass)
+        t0 = time.time()
+        acc = tile_sum(scene, cam, u, v, key, n_samples=todo,
+                       sample_offset=state.samples_done, max_depth=max_depth,
+                       tmin=tmin, remat=False, f32_w=f32_w, f32_h=f32_h,
+                       compact=compact, samples_per_pass=spp_pass)
+        acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
+        dt = time.time() - t0
+        state.radiance_sum = state.radiance_sum + acc
+        state.samples_done += todo
+        if checkpoint_path:
+            save_state(state, checkpoint_path)
+        if progress:
+            paths = W * H * todo
+            print(json.dumps({"samples_done": state.samples_done,
+                              "chunk_s": round(dt, 3),
+                              "paths_per_s": round(paths / dt, 1)}), flush=True)
+    return state
