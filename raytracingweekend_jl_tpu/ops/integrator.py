@@ -104,27 +104,35 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     return radiance
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile", "compact_every"))
 def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                     key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
-                    tmin: float = DEFAULT_TMIN, tile: int = 16384) -> jnp.ndarray:
-    """Forward-only wavefront trace with active-ray compaction.
+                    tmin: float = DEFAULT_TMIN, tile: int = 16384,
+                    compact_every: int = 4) -> jnp.ndarray:
+    """Forward-only wavefront trace with tile skipping + periodic compaction.
 
     Matches :func:`trace` with ``keyed=True`` ray-for-ray to <=1 ulp (per-ray
     randomness is slot-keyed so ray position is immaterial; the residual ulp
-    comes from XLA fusing the two programs differently), but every
-    bounce first partitions the wavefront so live rays occupy a dense prefix
-    (one stable multi-operand ``lax.sort`` keyed on deadness), then sweeps only
-    the ray tiles that overlap that prefix — each tile guarded by a scalar
-    ``lax.cond``, which XLA compiles to real control flow. With the flagship
-    scene's mean path length of ~5.3/16 bounces this skips ~2/3 of all
-    intersection work. Uses a ``while_loop`` with a global any-alive early
-    exit, so it is NOT reverse-differentiable — the grad path uses
-    :func:`trace` (remat=True).
+    comes from XLA fusing the two programs differently), with two
+    dead-work eliminations on top:
 
-    The compaction replaces the reference's dynamic recursion exit
-    (src/ray_color.jl:31: each ray simply stops recursing) which a fixed-trip
-    SIMD wavefront cannot express per lane.
+    - every bounce, each ray tile is guarded by a scalar ``lax.cond`` on a
+      per-tile any-alive reduction — XLA compiles that to real control flow,
+      so fully-dead tiles cost nothing. Primary rays are pixel-coherent (sky
+      regions die together), so this fires even before any reordering;
+    - every ``compact_every`` bounces, a stable multi-operand ``lax.sort``
+      keyed on deadness packs survivors into a dense prefix, turning the
+      straggler pattern back into fully-dead tiles. Sorting every bounce is
+      counterproductive — the 14-operand sort costs about as much as a sparse
+      bounce sweep — so the default re-packs every 4th bounce.
+
+    A ``while_loop`` with a global any-alive condition exits as soon as the
+    whole wavefront dies, so this path is NOT reverse-differentiable — the
+    grad path uses :func:`trace` (remat=True). The combination replaces the
+    reference's dynamic recursion exit (src/ray_color.jl:31), which a
+    fixed-trip SIMD wavefront cannot express per lane. Flagship-scene mean
+    path length is ~5.3 of 16 bounces (SURVEY.md §6 derivation measured here),
+    bounding the ideal gain at ~3x.
     """
     dtype = origin.dtype
     R0 = origin.shape[0]
@@ -160,9 +168,11 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
 
     def bounce(carry):
         b, st = carry
-        st = jax.lax.cond(b > 0, compact, lambda s: s, st)
+        st = jax.lax.cond((b > 0) & (b % compact_every == 0),
+                          compact, lambda s: s, st)
         org, d, thr, rad, alive, slot = st
-        n_alive = jnp.sum(alive.astype(jnp.int32))
+        # Per-tile any-alive flags: dead tiles are skipped outright.
+        tile_alive = jnp.any(alive.reshape(n_tiles, tile), axis=1)
 
         def tile_body(i, st):
             org, d, thr, rad, alive, slot = st
@@ -191,7 +201,7 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                 return (up(org, o_t), up(d, d_t), up(thr, thr_t),
                         up(rad, rad_t), up(alive, al_t), slot)
 
-            return jax.lax.cond(start < n_alive, do, lambda s: s, st)
+            return jax.lax.cond(tile_alive[i], do, lambda s: s, st)
 
         st = jax.lax.fori_loop(0, n_tiles, tile_body,
                                (org, d, thr, rad, alive, slot))
