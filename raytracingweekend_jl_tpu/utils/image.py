@@ -8,7 +8,48 @@ at the image top (the driver already applies the reference's Y-flip and gamma).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Load the optional C++ IO runtime (native/libimageio.so, built with
+    ``make -C native``) — gamma+quantize+deflate off the Python heap."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                            "libimageio.so")
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(os.path.abspath(path))
+                for fn in (lib.rtw_write_png, lib.rtw_write_ppm):
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                _NATIVE = lib
+            except OSError:
+                _NATIVE = None
+    return _NATIVE
+
+
+def _native_write(fn_name: str, img, path: str, gamma2: bool) -> bool:
+    lib = _native_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(np.asarray(img), dtype=np.float32)
+    h, w, c = arr.shape
+    assert c == 3
+    rc = getattr(lib, fn_name)(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, 1 if gamma2 else 0)
+    return rc == 0
 
 
 def to_uint8(img) -> np.ndarray:
@@ -17,9 +58,14 @@ def to_uint8(img) -> np.ndarray:
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
 
 
-def write_png(img, path: str) -> None:
-    """Write a PNG (via PIL when present, else pure-Python fallback)."""
-    arr = to_uint8(img)
+def write_png(img, path: str, gamma2: bool = False) -> None:
+    """Write a PNG. Prefers the native C++ writer when built (``make -C
+    native``), else PIL, else a pure-Python encoder. ``gamma2=True`` lets the
+    writer apply the reference's sqrt encoding to *linear* input
+    (src/vec.jl:22) during quantization."""
+    if _native_write("rtw_write_png", img, path, gamma2):
+        return
+    arr = to_uint8(np.sqrt(np.clip(img, 0, None)) if gamma2 else img)
     try:
         from PIL import Image
         Image.fromarray(arr, mode="RGB").save(path)
@@ -27,9 +73,11 @@ def write_png(img, path: str) -> None:
         _write_png_pure(arr, path)
 
 
-def write_ppm(img, path: str) -> None:
-    """Binary PPM (P6) writer — dependency-free lowest common denominator."""
-    arr = to_uint8(img)
+def write_ppm(img, path: str, gamma2: bool = False) -> None:
+    """Binary PPM (P6) writer (native C++ when built, else Python)."""
+    if _native_write("rtw_write_ppm", img, path, gamma2):
+        return
+    arr = to_uint8(np.sqrt(np.clip(img, 0, None)) if gamma2 else img)
     h, w, _ = arr.shape
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
