@@ -217,3 +217,43 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     # Un-permute: radiance back to original ray order (padding slot R0 drops).
     out = jnp.zeros((R0, 3), dtype)
     return out.at[slot].add(rad, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))
+def trace_occupancy(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
+                    key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
+                    tmin: float = DEFAULT_TMIN, tile: int = 16384):
+    """Per-bounce wavefront occupancy statistics (observability, SURVEY.md §5:
+    'bounce-occupancy, compaction ratio logged per wavefront iteration' — the
+    reference logs nothing).
+
+    Returns ``(alive_counts[max_depth], active_tiles[max_depth])`` where
+    ``alive_counts[b]`` is the number of live rays entering bounce ``b`` and
+    ``active_tiles[b]`` the number of ray tiles that would execute without any
+    re-packing (pixel-coherence skip only). ``compaction_ratio[b] =
+    alive_counts[b] / (active_tiles[b] * tile)`` measures how much a prefix
+    re-pack would still help at that bounce.
+    """
+    dtype = origin.dtype
+    R = origin.shape[0]
+    n_tiles = -(-R // tile)
+    pad = n_tiles * tile - R
+
+    def body(b, state):
+        org, d, alive, counts, tiles = state
+        counts = counts.at[b].set(jnp.sum(alive.astype(jnp.int32)))
+        alive_p = jnp.pad(alive, (0, pad))
+        tiles = tiles.at[b].set(jnp.sum(jnp.any(
+            alive_p.reshape(n_tiles, tile), axis=1).astype(jnp.int32)))
+        res = intersect_spheres(org, d, scene, tmin=tmin)
+        t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
+        s = scatter(scene, org, d, t_safe, res.index, jax.random.fold_in(key, b))
+        live_hit = (alive & res.hit)[..., None]
+        org = jnp.where(live_hit, s.origin, org)
+        d = jnp.where(live_hit, s.direction, d)
+        return org, d, alive & res.hit, counts, tiles
+
+    init = (origin, direction, jnp.ones((R,), bool),
+            jnp.zeros((max_depth,), jnp.int32), jnp.zeros((max_depth,), jnp.int32))
+    _, _, _, counts, tiles = jax.lax.fori_loop(0, max_depth, body, init)
+    return counts, tiles

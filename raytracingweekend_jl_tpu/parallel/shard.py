@@ -56,11 +56,13 @@ def _padded_coords(image_width: int, image_height: int, tile_size: int,
 
 @partial(jax.jit, static_argnames=("mesh", "image_width", "image_height",
                                    "n_samples", "tile_size", "max_depth",
-                                   "tmin", "remat"))
+                                   "tmin", "remat", "compact",
+                                   "samples_per_pass"))
 def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       mesh: Mesh, image_width: int, image_height: int,
                       n_samples: int, tile_size: int, max_depth: int,
-                      tmin: float, remat: bool) -> jnp.ndarray:
+                      tmin: float, remat: bool, compact: bool = False,
+                      samples_per_pass: int = 1) -> jnp.ndarray:
     dtype = cam.origin.dtype
     n_tile_shards = mesh.shape[TILES_AXIS]
     n_sample_shards = mesh.shape[SAMPLES_AXIS]
@@ -89,7 +91,8 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
             tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, global_tile)
             tile_sum = render_tile_sum(scene, cam, u_tiles[i], v_tiles[i],
                                        tile_key, local_spp, sample_offset,
-                                       max_depth, tmin, remat, f32_w, f32_h)
+                                       max_depth, tmin, remat, f32_w, f32_h,
+                                       compact, samples_per_pass)
             return jax.lax.dynamic_update_slice(acc, tile_sum[None], (i, 0, 0))
 
         acc = jax.lax.fori_loop(
@@ -116,15 +119,26 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                             max_depth: int = DEFAULT_MAX_DEPTH,
                             tmin: float = DEFAULT_TMIN,
                             seed: int | jax.Array = 0,
-                            remat: bool = False) -> jnp.ndarray:
-    """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``."""
+                            remat: bool = False, compact: bool = False,
+                            rays_per_pass: int | None = None) -> jnp.ndarray:
+    """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``.
+
+    ``compact``/``rays_per_pass`` mirror the single-chip driver: forward-only
+    active-ray compaction and merged pixels-x-samples wavefronts per shard.
+    """
     H = image_height if image_height is not None else image_height_for(image_width)
     key = seed if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key) \
         else jax.random.PRNGKey(seed)
+    spp_pass = 1
+    if rays_per_pass is not None:
+        from ..render import pick_samples_per_pass
+        local_spp = n_samples // max(mesh.shape[SAMPLES_AXIS], 1)
+        spp_pass = pick_samples_per_pass(tile_size, max(local_spp, 1), rays_per_pass)
     return _sharded_radiance(scene, cam, key, mesh=mesh, image_width=image_width,
                              image_height=H, n_samples=n_samples,
                              tile_size=tile_size, max_depth=max_depth,
-                             tmin=tmin, remat=remat)
+                             tmin=tmin, remat=remat, compact=compact,
+                             samples_per_pass=spp_pass)
 
 
 def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,

@@ -78,3 +78,15 @@ def test_render_compact_pipeline():
                                    compact=True))
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.01
+
+
+def test_trace_occupancy_stats():
+    from raytracingweekend_jl_tpu.ops.integrator import trace_occupancy
+    scene = scene_4_spheres()
+    o, d = primary_rays(t_default_cam())
+    counts, tiles = trace_occupancy(scene, o, d, KEY, tile=256)
+    counts, tiles = np.asarray(counts), np.asarray(tiles)
+    assert counts[0] == o.shape[0]          # all rays alive at bounce 0
+    assert (np.diff(counts) <= 0).all()     # monotone deaths
+    assert tiles[0] == -(-o.shape[0] // 256)
+    assert (tiles <= tiles[0]).all() and (tiles >= 0).all()
