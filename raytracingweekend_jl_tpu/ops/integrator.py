@@ -172,39 +172,39 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                           compact, lambda s: s, st)
         org, d, thr, rad, alive, slot = st
         # Per-tile any-alive flags: dead tiles are skipped outright.
-        tile_alive = jnp.any(alive.reshape(n_tiles, tile), axis=1)
+        alive_t = alive.reshape(n_tiles, tile)
+        tile_alive = jnp.any(alive_t, axis=1)
+        key_b = key_of_bounce(b)
 
-        def tile_body(i, st):
-            org, d, thr, rad, alive, slot = st
-            start = i * tile
+        def scan_body(_, xs):
+            o_t, d_t, thr_t, rad_t, al_t, slot_t, flag = xs
 
-            def do(st):
-                org, d, thr, rad, alive, slot = st
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, tile)
-                o_t, d_t, thr_t, rad_t = sl(org), sl(d), sl(thr), sl(rad)
-                al_t, slot_t = sl(alive), sl(slot)
-
+            def do(args):
+                o_t, d_t, thr_t, rad_t, al_t, slot_t = args
                 res = intersect_spheres(o_t, d_t, scene, tmin=tmin)
                 miss_now = al_t & ~res.hit
                 rad_t = rad_t + jnp.where(miss_now[..., None],
                                           thr_t * skycolor(d_t), 0.0)
                 t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
-                s = scatter(scene, o_t, d_t, t_safe, res.index,
-                            key_of_bounce(b), slots=slot_t)
+                s = scatter(scene, o_t, d_t, t_safe, res.index, key_b,
+                            slots=slot_t)
                 live_hit = (al_t & res.hit)[..., None]
-                o_t = jnp.where(live_hit, s.origin, o_t)
-                d_t = jnp.where(live_hit, s.direction, d_t)
-                thr_t = jnp.where(live_hit, thr_t * s.attenuation, thr_t)
-                al_t = al_t & res.hit
+                return (jnp.where(live_hit, s.origin, o_t),
+                        jnp.where(live_hit, s.direction, d_t),
+                        jnp.where(live_hit, thr_t * s.attenuation, thr_t),
+                        rad_t, al_t & res.hit)
 
-                up = lambda a, t_: jax.lax.dynamic_update_slice_in_dim(a, t_, start, 0)
-                return (up(org, o_t), up(d, d_t), up(thr, thr_t),
-                        up(rad, rad_t), up(alive, al_t), slot)
+            out = jax.lax.cond(flag, do, lambda a: a[:5],
+                               (o_t, d_t, thr_t, rad_t, al_t, slot_t))
+            return None, out
 
-            return jax.lax.cond(tile_alive[i], do, lambda s: s, st)
-
-        st = jax.lax.fori_loop(0, n_tiles, tile_body,
-                               (org, d, thr, rad, alive, slot))
+        _, (o2, d2, th2, ra2, al2) = jax.lax.scan(
+            scan_body, None,
+            (org.reshape(n_tiles, tile, 3), d.reshape(n_tiles, tile, 3),
+             thr.reshape(n_tiles, tile, 3), rad.reshape(n_tiles, tile, 3),
+             alive_t, slot.reshape(n_tiles, tile), tile_alive))
+        st = (o2.reshape(R, 3), d2.reshape(R, 3), th2.reshape(R, 3),
+              ra2.reshape(R, 3), al2.reshape(R), slot)
         return b + 1, st
 
     def keep_going(carry):
