@@ -72,12 +72,17 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                         checkpoint_path: str | None = None,
                         max_depth: int = 16, tmin: float = 1e-4,
                         compact: bool = True, rays_per_pass: int = 1 << 21,
-                        progress: bool = False) -> RenderState:
+                        progress: bool = False, max_retries: int = 2) -> RenderState:
     """Render ``n_samples`` in chunks of ``spp_chunk``, checkpointing after each.
 
     If ``checkpoint_path`` exists, resumes from it. Sample-exact: chunk c
     renders global samples [c*spp_chunk, ...) with RNG keyed on the global
     sample index, so the union over chunks equals one long uninterrupted render.
+
+    Failure handling (SURVEY.md §5: the reference has none — a crash kills the
+    render): each chunk is retried up to ``max_retries`` times on transient
+    device/runtime errors; committed chunks are already durable on disk, so
+    the blast radius of any failure is one chunk.
     """
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
@@ -102,11 +107,22 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
         todo = min(spp_chunk, n_samples - state.samples_done)
         spp_pass = pick_samples_per_pass(W * H, todo, rays_per_pass)
         t0 = time.time()
-        acc = tile_sum(scene, cam, u, v, key, n_samples=todo,
-                       sample_offset=state.samples_done, max_depth=max_depth,
-                       tmin=tmin, remat=False, f32_w=f32_w, f32_h=f32_h,
-                       compact=compact, samples_per_pass=spp_pass)
-        acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
+        for attempt in range(max_retries + 1):
+            try:
+                acc = tile_sum(scene, cam, u, v, key, n_samples=todo,
+                               sample_offset=state.samples_done,
+                               max_depth=max_depth, tmin=tmin, remat=False,
+                               f32_w=f32_w, f32_h=f32_h, compact=compact,
+                               samples_per_pass=spp_pass)
+                acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
+                break
+            except Exception as e:  # noqa: BLE001 — device faults are opaque
+                if attempt >= max_retries:
+                    raise
+                if progress:
+                    print(json.dumps({"retry": attempt + 1,
+                                      "chunk_offset": state.samples_done,
+                                      "error": repr(e)[:200]}), flush=True)
         dt = time.time() - t0
         state.radiance_sum = state.radiance_sum + acc
         state.samples_done += todo

@@ -113,3 +113,31 @@ def test_metrics_helpers():
     t = PhaseTimer()
     t.start("a"); t.stop("a")
     assert "a" in t.as_dict()
+
+
+def test_checkpoint_retries_transient_failure(tmp_path, monkeypatch):
+    # One transient chunk failure must not lose committed progress.
+    import raytracingweekend_jl_tpu.utils.checkpoint as ck
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+
+    calls = {"n": 0}
+    real_jit = ck.jax.jit
+
+    def flaky_jit(fn, **kw):
+        jitted = real_jit(fn, **kw)
+
+        def wrapper(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated device fault")
+            return jitted(*a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(ck.jax, "jit", flaky_jit)
+    state = ck.render_checkpointed(scene, cam, 48, 4, seed=7, spp_chunk=2,
+                                   compact=False)
+    assert state.samples_done == 4
+    assert np.isfinite(state.image).all()
+    assert calls["n"] >= 3  # chunk1 ok, chunk2 failed once then retried
