@@ -32,6 +32,18 @@ from ..scene import Scene
 from .intersect import intersect_spheres, DEFAULT_TMIN, BIG
 from .materials import scatter
 
+
+def _pick_intersector(use_pallas):
+    """Resolve the intersection backend: the Pallas sweep kernel on TPU
+    (measured ~18% faster than the fused XLA sweep and differentiable via its
+    analytic VJP), the XLA sweep on CPU. ``use_pallas`` forces either way."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from .pallas.intersect_kernel import intersect_spheres_pallas
+        return intersect_spheres_pallas
+    return intersect_spheres
+
 #: Reference default bounce depth (src/ray_color.jl:14); 4 is insufficient for
 #: hollow glass (README.md:208-210).
 DEFAULT_MAX_DEPTH = 16
@@ -49,11 +61,12 @@ def skycolor(direction: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - t)[..., None] * white + t[..., None] * skyblue
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "remat", "keyed"))
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "remat", "keyed",
+                                   "use_pallas"))
 def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
           key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
           tmin: float = DEFAULT_TMIN, remat: bool = False,
-          keyed: bool = False) -> jnp.ndarray:
+          keyed: bool = False, use_pallas: bool | None = None) -> jnp.ndarray:
     """Trace ``R`` primary rays to radiance ``[R,3]``.
 
     Args:
@@ -68,10 +81,11 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     dtype = origin.dtype
     R = origin.shape[0]
     slots = jnp.arange(R, dtype=jnp.int32) if keyed else None
+    intersect = _pick_intersector(use_pallas)
 
     def body(b, state):
         org, d, thr, rad, alive = state
-        res = intersect_spheres(org, d, scene, tmin=tmin)
+        res = intersect(org, d, scene, tmin=tmin)
 
         # Miss: accumulate sky once, then the ray dies
         # (reference: src/ray_color.jl:35-37).
@@ -104,11 +118,13 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     return radiance
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile", "compact_every"))
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "tile", "compact_every",
+                                   "use_pallas"))
 def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                     key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
                     tmin: float = DEFAULT_TMIN, tile: int = 16384,
-                    compact_every: int = 4) -> jnp.ndarray:
+                    compact_every: int = 4,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
     """Forward-only wavefront trace with tile skipping + periodic compaction.
 
     Matches :func:`trace` with ``keyed=True`` ray-for-ray to <=1 ulp (per-ray
@@ -139,6 +155,7 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     n_tiles = -(-R0 // tile)
     R = n_tiles * tile
     pad = R - R0
+    intersect = _pick_intersector(use_pallas)
 
     org = jnp.pad(origin, ((0, pad), (0, 0)))
     d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=0.0)
@@ -181,7 +198,7 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
 
             def do(args):
                 o_t, d_t, thr_t, rad_t, al_t, slot_t = args
-                res = intersect_spheres(o_t, d_t, scene, tmin=tmin)
+                res = intersect(o_t, d_t, scene, tmin=tmin)
                 miss_now = al_t & ~res.hit
                 rad_t = rad_t + jnp.where(miss_now[..., None],
                                           thr_t * skycolor(d_t), 0.0)
