@@ -73,6 +73,22 @@ def default_camera(lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0),
                   as_j(vertical), as_j(u), as_j(v), as_j(w), as_j(lens_radius))
 
 
+def make_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray,
+              disk_pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic core of ray generation: film coords + an explicit
+    ``[R,2]`` unit-disk lens sample -> (origins, unit directions)
+    (reference geometry: src/camera.jl:43-48). Callers supply the disk sample
+    so RNG keying strategies (positional, slot-keyed, persistent) compose."""
+    rd = cam.lens_radius * disk_pts
+    offset = rd[..., 0:1] * cam.u + rd[..., 1:2] * cam.v
+    origin = cam.origin + offset
+    direction = (cam.lower_left_corner
+                 + s[..., None] * cam.horizontal
+                 + t[..., None] * cam.vertical
+                 - cam.origin - offset)
+    return origin, normalize(direction)
+
+
 def get_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray,
              key: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched ``get_ray`` (reference: src/camera.jl:43-48).
@@ -85,14 +101,7 @@ def get_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray,
     disk sample is annihilated by ``lens_radius = 0`` (src/camera.jl:44).
     """
     dtype = cam.origin.dtype
-    rd = cam.lens_radius * unit_disk_points(key, s.shape, dtype=dtype)
-    offset = rd[..., 0:1] * cam.u + rd[..., 1:2] * cam.v
-    origin = cam.origin + offset
-    direction = (cam.lower_left_corner
-                 + s[..., None] * cam.horizontal
-                 + t[..., None] * cam.vertical
-                 - cam.origin - offset)
-    return origin, normalize(direction)
+    return make_rays(cam, s, t, unit_disk_points(key, s.shape, dtype=dtype))
 
 
 # ---------------------------------------------------------------------------

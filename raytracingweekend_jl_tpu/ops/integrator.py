@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..scene import Scene
 from .intersect import intersect_spheres, DEFAULT_TMIN, BIG
-from .materials import scatter
+from .materials import scatter, slot_keys
 
 
 def _pick_intersector(use_pallas):
@@ -95,8 +95,9 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         # Hit: scatter. Clamp t for non-hitting rays to keep every lane finite
         # (NaN-under-where guard for reverse mode).
         t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
-        s = scatter(scene, org, d, t_safe, res.index, jax.random.fold_in(key, b),
-                    slots=slots)
+        key_b = jax.random.fold_in(key, b)
+        rk = slot_keys(key_b, slots) if slots is not None else None
+        s = scatter(scene, org, d, t_safe, res.index, key_b, ray_keys=rk)
 
         live_hit = (alive & res.hit)[..., None]
         org = jnp.where(live_hit, s.origin, org)
@@ -204,7 +205,7 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                                           thr_t * skycolor(d_t), 0.0)
                 t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
                 s = scatter(scene, o_t, d_t, t_safe, res.index, key_b,
-                            slots=slot_t)
+                            ray_keys=slot_keys(key_b, slot_t))
                 live_hit = (al_t & res.hit)[..., None]
                 return (jnp.where(live_hit, s.origin, o_t),
                         jnp.where(live_hit, s.direction, d_t),
@@ -234,6 +235,116 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     # Un-permute: radiance back to original ray order (padding slot R0 drops).
     out = jnp.zeros((R0, 3), dtype)
     return out.at[slot].add(rad, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
+                                   "f32_w", "f32_h", "use_pallas"))
+def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
+                          key: jax.Array, n_samples: int, sample_offset,
+                          max_depth: int = DEFAULT_MAX_DEPTH,
+                          tmin: float = DEFAULT_TMIN, f32_w: float = 0.0,
+                          f32_h: float = 0.0,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
+    """Persistent-wavefront renderer: radiance *sum* ``[n_pix,3]`` over
+    ``n_samples`` samples per pixel.
+
+    The fixed-depth wavefront (:func:`trace`) wastes ~2/3 of its sweeps on
+    dead lanes (flagship mean path length 5.3 of 16 bounces), and generic
+    compaction pays more in sort/copy traffic than it recovers. This is the
+    TPU-shaped fix: every lane is *pinned to its pixel* and, the moment its
+    ray terminates (sky hit or depth exhaustion), the SAME lane immediately
+    starts the NEXT SAMPLE of the SAME pixel — no sort, no gather/scatter, no
+    cross-lane communication, and the lane's radiance accumulator already is
+    the pixel accumulator. Occupancy stays ~100% until the final per-pixel
+    stragglers, so total sweep work approaches the ideal
+    sum-over-paths-of-path-length bound.
+
+    RNG is fully counter-based: camera draws keyed by (pixel-slot, sample),
+    scatter draws by (slot, sample, bounce) — reproducible regardless of how
+    lanes interleave their samples. Semantics match the reference integrator
+    exactly: depth budget ``max_depth`` scatters then black
+    (src/ray_color.jl:14-38), centered global sample 0 (src/render.jl:30-32),
+    jitter U[0,1)/W, thin-lens offsets. Forward-only (while_loop).
+    """
+    from ..camera import make_rays
+    from .sampling import concentric_disk_map, per_ray_uniforms
+    from .. import rng as rngmod
+
+    if max_depth <= 0 or n_samples <= 0:
+        return jnp.zeros((u.shape[0], 3), u.dtype)
+
+    dtype = u.dtype
+    R = u.shape[0]
+    slots = jnp.arange(R, dtype=jnp.int32)
+    intersect = _pick_intersector(use_pallas)
+    key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
+    key_sc = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
+    jitter_scale = jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype)
+
+    def fold2(base, a, b_):
+        k = jax.vmap(jax.random.fold_in, (None, 0))(base, a)
+        return jax.vmap(jax.random.fold_in)(k, b_)
+
+    def gen_rays(sample_ids):
+        keys = fold2(key_cam, slots, sample_ids)
+        u4 = per_ray_uniforms(keys, 4, dtype=dtype)
+        jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
+                           u4[:, 0:2] * jitter_scale)
+        disk = concentric_disk_map(u4[:, 2:4] * 2.0 - 1.0)
+        return make_rays(cam, u + jit_uv[:, 0], v + jit_uv[:, 1], disk)
+
+    sample_ids = jnp.full((R,), sample_offset, jnp.int32)
+    org, d = gen_rays(sample_ids)
+    init = (org, d,
+            jnp.ones((R, 3), dtype),    # throughput
+            jnp.zeros((R, 3), dtype),   # radiance sum over all samples
+            jnp.zeros((R,), jnp.int32),  # scatters done for current ray
+            sample_ids,
+            jnp.ones((R,), bool),       # lane active
+            jnp.int32(0))               # safety iteration counter
+
+    last_sample = sample_offset + n_samples - 1
+
+    def cond(st):
+        return jnp.any(st[6]) & (st[7] < n_samples * max_depth)
+
+    def body(st):
+        org, d, thr, rad, bounces, sample_ids, active, it = st
+        res = intersect(org, d, scene, tmin=tmin)
+
+        hit = active & res.hit
+        miss = active & ~res.hit
+        rad = rad + jnp.where(miss[:, None], thr * skycolor(d), 0.0)
+
+        t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
+        keys_sc = jax.vmap(jax.random.fold_in)(fold2(key_sc, slots, sample_ids),
+                                               bounces)
+        sc = scatter(scene, org, d, t_safe, res.index, key_sc, ray_keys=keys_sc)
+
+        new_b = bounces + 1
+        cont = hit & (new_b < max_depth)
+        exhausted = hit & ~cont
+
+        org = jnp.where(cont[:, None], sc.origin, org)
+        d = jnp.where(cont[:, None], sc.direction, d)
+        thr = jnp.where(cont[:, None], thr * sc.attenuation, thr)
+        bounces = jnp.where(cont, new_b, bounces)
+
+        # Regenerate: same pixel, next sample, in place.
+        need = miss | exhausted
+        next_sample = sample_ids + 1
+        can = need & (next_sample <= last_sample)
+        norg, nd = gen_rays(next_sample)
+        org = jnp.where(can[:, None], norg, org)
+        d = jnp.where(can[:, None], nd, d)
+        thr = jnp.where(can[:, None], 1.0, thr)
+        bounces = jnp.where(can, 0, bounces)
+        sample_ids = jnp.where(can, next_sample, sample_ids)
+        active = (active & ~need) | can
+        return org, d, thr, rad, bounces, sample_ids, active, it + 1
+
+    st = jax.lax.while_loop(cond, body, init)
+    return st[3]
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))

@@ -36,23 +36,30 @@ class ScatterResult(NamedTuple):
     attenuation: jnp.ndarray  # [R,3] throughput multiplier
 
 
-def _per_ray_draws(key: jax.Array, slots: jnp.ndarray, dtype):
-    """Counter-based per-ray randoms keyed by ray *slot* id.
+def _per_ray_draws(keys: jax.Array, dtype):
+    """Counter-based per-ray randoms from a batch of per-ray keys.
 
-    Each ray's unit-sphere sample and Schlick coin are derived from
-    ``fold_in(key, slot)`` so the draws are invariant to where the ray
-    currently sits in the wavefront array — the property that makes compaction
-    and resharding bit-exact (SURVEY.md §2.5's counter-based RNG design).
+    Each ray's unit-sphere sample and Schlick coin come from its own key
+    (derived by the caller from stable coordinates like (slot, sample, bounce))
+    so the draws are invariant to where the ray currently sits in the
+    wavefront array — the property that makes compaction, persistent
+    regeneration, and resharding reproducible (SURVEY.md §2.5's counter-based
+    RNG design).
     """
     def one_ray(k):
         kd, kc = jax.random.split(k)
         return jax.random.normal(kd, (3,), dtype=dtype), \
             jax.random.uniform(kc, (), dtype=dtype)
 
-    g, xi = jax.vmap(one_ray)(jax.vmap(jax.random.fold_in, (None, 0))(key, slots))
+    g, xi = jax.vmap(one_ray)(keys)
     sq = jnp.sum(g * g, axis=-1, keepdims=True)
     u = g * jax.lax.rsqrt(jnp.maximum(sq, jnp.asarray(1e-20, dtype)))
     return u, xi
+
+
+def slot_keys(key: jax.Array, slots: jnp.ndarray) -> jax.Array:
+    """[R] per-ray keys from a base key + slot ids (``fold_in`` per ray)."""
+    return jax.vmap(jax.random.fold_in, (None, 0))(key, slots)
 
 
 def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
@@ -93,22 +100,28 @@ def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
 
 def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
             t: jnp.ndarray, index: jnp.ndarray, key: jax.Array,
-            slots: jnp.ndarray | None = None) -> ScatterResult:
+            ray_keys: jax.Array | None = None,
+            attrs: tuple | None = None) -> ScatterResult:
     """Scatter ``R`` rays that hit sphere ``index`` at parameter ``t``.
 
     Rays that did not hit anything receive well-defined (finite) garbage here;
     the integrator masks them out. ``t`` must already be finite for such rays.
 
-    ``slots``: optional per-ray ids; when given, randomness is keyed per slot
-    (position-independent — required for bit-exact compaction); when None,
-    draws are positional (one shaped draw for the whole batch — cheapest).
+    ``ray_keys``: optional [R] per-ray key batch; when given, randomness is
+    keyed per ray (position-independent — required for exact compaction /
+    persistent regeneration); when None, draws are positional (one shaped draw
+    for the whole batch — cheapest). ``attrs``: optionally pre-fetched
+    (center, radius, albedo, fuzz, ir, mat) rows (e.g. from a fused Pallas
+    sweep), skipping the one-hot fetch.
     """
     dtype = origin.dtype
     one = jnp.asarray(1.0, dtype)
 
     # Hit point and outward normal (reference: src/hit.jl:3,32-34).
     p = origin + t[..., None] * direction
-    center, radius, albedo, fuzz, ir, mat = gather_sphere_attrs(scene, index, dtype)
+    if attrs is None:
+        attrs = gather_sphere_attrs(scene, index, dtype)
+    center, radius, albedo, fuzz, ir, mat = attrs
     # Signed radius: negative radius flips the outward normal → hollow shells
     # (reference: src/hit.jl:33, src/scenes.jl:35-36).
     inv_r = jnp.where(radius == 0, 0.0, jnp.reciprocal(jnp.where(radius == 0, one, radius)))
@@ -116,12 +129,12 @@ def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     front_face = dot(direction, n_out) < 0                  # (reference: src/hit.jl:7)
     n = jnp.where(front_face[..., None], n_out, -n_out)     # (reference: src/hit.jl:8)
 
-    if slots is None:
+    if ray_keys is None:
         k_dir, k_coin = jax.random.split(key)
         u = unit_sphere_directions(k_dir, t.shape, dtype=dtype)  # shared unit sample
         xi = jax.random.uniform(k_coin, t.shape, dtype=dtype)    # Schlick coin
     else:
-        u, xi = _per_ray_draws(key, slots, dtype)
+        u, xi = _per_ray_draws(ray_keys, dtype)
 
     # --- Lambertian (reference: src/material.jl:13-23) ---
     lam_raw = n + u

@@ -38,7 +38,7 @@ LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 
 
-def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [1,N] SMEM sphere SoA
+def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [N] scalar-prefetch SMEM
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray tiles
                   t_ref, idx_ref,  # outputs
                   *, n_spheres: int, tmin: float):
@@ -54,10 +54,10 @@ def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [1,N] SMEM sphere SoA
 
     def body(s, carry):
         best_t, best_i = carry
-        cxs = cx_ref[0, s]
-        cys = cy_ref[0, s]
-        czs = cz_ref[0, s]
-        cks = ck_ref[0, s]
+        cxs = cx_ref[s]
+        cys = cy_ref[s]
+        czs = cz_ref[s]
+        cks = ck_ref[s]
         # half-b quadratic with a == 1 (reference: src/hit.jl:12-29), stable
         # |oc|^2 expansion as in ops/intersect.py.
         cd = cxs * dx + cys * dy + czs * dz
@@ -100,19 +100,25 @@ def _sweep_forward(origin, direction, centers, ck, tmin, interpret=False):
         _pad_rows(direction[:, 0], rows), _pad_rows(direction[:, 1], rows),
         _pad_rows(direction[:, 2], rows),
     ]
-    sphere_planes = [centers[:, 0].reshape(1, -1), centers[:, 1].reshape(1, -1),
-                     centers[:, 2].reshape(1, -1), ck.reshape(1, -1)]
+    sphere_planes = [centers[:, 0], centers[:, 1], centers[:, 2], ck]
 
-    sphere_spec = pl.BlockSpec((1, n_spheres), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+    # Index maps under PrefetchScalarGridSpec also receive the scalar refs.
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_refs: (i, 0),
                             memory_space=pltpu.VMEM)
+
+    # Sphere SoA rides the scalar-prefetch path: 1-D arrays land in SMEM and
+    # are indexed per sphere by the sweep loop (a (1,N) SMEM BlockSpec
+    # mis-indexes beyond element 128 on real hardware).
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec, ray_spec],
+    )
 
     t, idx = pl.pallas_call(
         partial(_sweep_kernel, n_spheres=n_spheres, tmin=tmin),
-        grid=(grid,),
-        in_specs=[sphere_spec] * 4 + [ray_spec] * 6,
-        out_specs=[ray_spec, ray_spec],
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
         interpret=interpret,

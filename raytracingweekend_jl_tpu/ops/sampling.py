@@ -30,11 +30,11 @@ def unit_sphere_directions(key: jax.Array, shape: tuple, dtype=jnp.float32) -> j
     return g * jax.lax.rsqrt(jnp.maximum(sq, jnp.asarray(1e-20, dtype)))
 
 
-def unit_disk_points(key: jax.Array, shape: tuple, dtype=jnp.float32) -> jax.Array:
-    """``shape + (2,)`` uniform points in the unit disk via the concentric map
-    (same distribution as ref random_vec2_in_disk, src/rand.jl:31-38)."""
-    u = jax.random.uniform(key, shape + (2,), dtype=dtype, minval=-1.0, maxval=1.0)
-    a, b = u[..., 0], u[..., 1]
+def concentric_disk_map(uv: jax.Array) -> jax.Array:
+    """Shirley's concentric square->disk map. ``uv`` in [-1,1]^2, trailing axis
+    2; returns points uniform in the unit disk when ``uv`` is uniform."""
+    dtype = uv.dtype
+    a, b = uv[..., 0], uv[..., 1]
     use_a = jnp.abs(a) > jnp.abs(b)
     r = jnp.where(use_a, a, b)
     quarter_pi = jnp.asarray(jnp.pi / 4, dtype)
@@ -44,6 +44,19 @@ def unit_disk_points(key: jax.Array, shape: tuple, dtype=jnp.float32) -> jax.Arr
     theta = jnp.where(use_a, quarter_pi * (b / safe_a), half_pi - quarter_pi * (a / safe_b))
     theta = jnp.where((a == 0) & (b == 0), 0.0, theta)
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def unit_disk_points(key: jax.Array, shape: tuple, dtype=jnp.float32) -> jax.Array:
+    """``shape + (2,)`` uniform points in the unit disk via the concentric map
+    (same distribution as ref random_vec2_in_disk, src/rand.jl:31-38)."""
+    u = jax.random.uniform(key, shape + (2,), dtype=dtype, minval=-1.0, maxval=1.0)
+    return concentric_disk_map(u)
+
+
+def per_ray_uniforms(keys: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
+    """``[R, n]`` U[0,1) draws from a batch of per-ray keys (counter-based
+    streams — position-independent, see rng.py)."""
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(keys)
 
 
 def uniform_between(key: jax.Array, shape: tuple, lo, hi, dtype=jnp.float32) -> jax.Array:

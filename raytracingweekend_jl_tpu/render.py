@@ -27,7 +27,8 @@ import numpy as np
 
 from . import rng
 from .camera import Camera, get_rays
-from .ops.integrator import trace, trace_compacted, DEFAULT_MAX_DEPTH
+from .ops.integrator import (trace, trace_compacted, persistent_render_sum,
+                             DEFAULT_MAX_DEPTH)
 from .ops.intersect import DEFAULT_TMIN
 from .ops.vecmath import gamma2_encode
 from .scene import Scene
@@ -69,7 +70,8 @@ def pick_samples_per_pass(n_pix: int, n_samples: int,
 def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
                     tmin: float, remat: bool, f32_w: float, f32_h: float,
-                    compact: bool = False, samples_per_pass: int = 1) -> jnp.ndarray:
+                    compact: bool = False, samples_per_pass: int = 1,
+                    persistent: bool = False) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -83,6 +85,12 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     millions of rays; with ``samples_per_pass == 1`` the RNG stream layout is
     exactly the classic one-sample-per-pass scheme.
     """
+    if persistent:
+        # Persistent wavefront: lanes pinned to pixels, dead rays replaced by
+        # the same pixel's next sample in place (see ops/integrator.py).
+        return persistent_render_sum(scene, cam, u, v, key, n_samples,
+                                     sample_offset, max_depth, tmin,
+                                     f32_w, f32_h)
     dtype = u.dtype
     n_pix = u.shape[0]
     spp = samples_per_pass
@@ -121,14 +129,17 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
-                                   "f32_w", "f32_h", "compact", "samples_per_pass"))
+                                   "f32_w", "f32_h", "compact", "samples_per_pass",
+                                   "persistent"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
-                  compact: bool = False, samples_per_pass: int = 1) -> jnp.ndarray:
+                  compact: bool = False, samples_per_pass: int = 1,
+                  persistent: bool = False) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
-                          tmin, remat, f32_w, f32_h, compact, samples_per_pass)
+                          tmin, remat, f32_w, f32_h, compact, samples_per_pass,
+                          persistent)
     return acc / n_samples
 
 
@@ -137,7 +148,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     max_depth: int = DEFAULT_MAX_DEPTH, tmin: float = DEFAULT_TMIN,
                     seed: int | jax.Array = 0, dtype=None,
                     pixel_chunk: int | None = None, remat: bool = False,
-                    compact: bool = False,
+                    compact: bool = False, persistent: bool = False,
                     rays_per_pass: int | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
@@ -159,7 +170,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
             pick_samples_per_pass(n_pix, n_samples, rays_per_pass)
         out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
-                            compact, spp_pass)
+                            compact, spp_pass, persistent)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -174,7 +185,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
             pieces.append(_render_chunk(
                 scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
                 n_samples, max_depth, tmin, remat,
-                float(np.float32(W)), float(np.float32(H)), compact, spp_pass))
+                float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
+                persistent))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -90,3 +90,49 @@ def test_trace_occupancy_stats():
     assert (np.diff(counts) <= 0).all()     # monotone deaths
     assert tiles[0] == -(-o.shape[0] // 256)
     assert (tiles <= tiles[0]).all() and (tiles >= 0).all()
+
+
+def test_persistent_matches_plain_statistically():
+    from raytracingweekend_jl_tpu.render import render_radiance
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    a = np.asarray(render_radiance(scene, cam, 64, 8, seed=4))
+    b = np.asarray(render_radiance(scene, cam, 64, 8, seed=4, persistent=True))
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert np.abs(a - b).mean() < 0.06
+    assert np.isfinite(b).all()
+
+
+def test_persistent_deterministic_paths_exact():
+    # Fuzz-0 mirror scene at spp=1 (no randomness consumed in taken branches):
+    # persistent must equal the classic driver bitwise.
+    from raytracingweekend_jl_tpu.render import render_radiance
+    from raytracingweekend_jl_tpu import make_scene, metal, default_camera
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    x = np.asarray(render_radiance(scene, cam, 32, 1, seed=1))
+    y = np.asarray(render_radiance(scene, cam, 32, 1, seed=1, persistent=True))
+    np.testing.assert_array_equal(x, y)
+
+
+def test_persistent_depth_semantics():
+    # max_depth=1: any hit is exhausted after one scatter -> black; sky misses
+    # still accumulate. Compare against plain trace driver.
+    from raytracingweekend_jl_tpu.render import render_radiance
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    a = np.asarray(render_radiance(scene, cam, 48, 1, seed=0, max_depth=1))
+    b = np.asarray(render_radiance(scene, cam, 48, 1, seed=0, max_depth=1,
+                                   persistent=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_persistent_spp_scaling():
+    # Radiance sum divided by spp must converge (variance shrinks with spp).
+    from raytracingweekend_jl_tpu.render import render_radiance
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    lo = np.asarray(render_radiance(scene, cam, 48, 2, seed=1, persistent=True))
+    hi = np.asarray(render_radiance(scene, cam, 48, 32, seed=1, persistent=True))
+    ref = np.asarray(render_radiance(scene, cam, 48, 32, seed=2, persistent=True))
+    assert np.abs(hi - ref).mean() < np.abs(lo - ref).mean()
