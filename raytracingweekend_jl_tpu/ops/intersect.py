@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..scene import Scene
@@ -70,9 +71,12 @@ def intersect_spheres(origin: jnp.ndarray, direction: jnp.ndarray, scene: Scene,
     od = jnp.sum(origin * direction, axis=-1)     # [R]  o·d
     oo = jnp.sum(origin * origin, axis=-1)        # [R]  |o|^2
 
-    # Ray⊗sphere contractions — MXU-friendly [R,3] @ [3,N].
-    cd = direction @ centers.T                    # [R,N]  d·c
-    oc = origin @ centers.T                       # [R,N]  o·c
+    # Ray⊗sphere contractions — MXU-friendly [R,3] @ [3,N]. HIGHEST precision
+    # is mandatory: the TPU default demotes dot operands to bfloat16, whose
+    # 8-bit mantissa corrupts hit distances by ~1% (visibly wrong images —
+    # caught by comparing against the Pallas kernel and CPU goldens).
+    cd = jnp.dot(direction, centers.T, precision=jax.lax.Precision.HIGHEST)
+    oc = jnp.dot(origin, centers.T, precision=jax.lax.Precision.HIGHEST)
 
     # half_b = oc_vec·d with oc_vec = o - c  (reference: src/hit.jl:16)
     half_b = od[:, None] - cd
