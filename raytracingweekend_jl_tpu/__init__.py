@@ -16,7 +16,8 @@ from .scene import (Scene, make_scene, sphere, lambertian, metal, dielectric,
 from .camera import (Camera, default_camera, get_rays,
                      t_default_cam, t_cam1, t_cam2, hollow_glass_cam)
 from .render import render, render_radiance, image_height_for, pixel_coords
-from .ops.integrator import trace, trace_compacted, skycolor, DEFAULT_MAX_DEPTH
+from .ops.integrator import (trace, trace_compacted, persistent_render_sum,
+                             trace_occupancy, skycolor, DEFAULT_MAX_DEPTH)
 from .ops.intersect import intersect_spheres, HitResult, DEFAULT_TMIN
 from .ops.materials import scatter, ScatterResult
 from .ops.vecmath import (dot, squared_length, near_zero, normalize, reflect,

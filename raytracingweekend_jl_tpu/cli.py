@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default=d.precision, choices=("f32", "f64"))
     p.add_argument("--no-compact", action="store_true",
                    help="disable active-ray compaction")
+    p.add_argument("--no-persistent", action="store_true",
+                   help="disable the persistent-wavefront integrator")
     p.add_argument("--rays-per-pass", type=int, default=d.rays_per_pass)
     p.add_argument("--mesh-tiles", type=int, default=d.mesh_tiles)
     p.add_argument("--mesh-samples", type=int, default=d.mesh_samples)
@@ -47,7 +49,8 @@ def config_from_args(args) -> RenderConfig:
         scene=args.scene, camera=args.camera, image_width=args.width,
         image_height=args.height, n_samples=args.spp, max_depth=args.depth,
         seed=args.seed, scene_seed=args.scene_seed, precision=args.precision,
-        compact=not args.no_compact, rays_per_pass=args.rays_per_pass,
+        compact=not args.no_compact, persistent=not args.no_persistent,
+        rays_per_pass=args.rays_per_pass,
         mesh_tiles=args.mesh_tiles, mesh_samples=args.mesh_samples,
         tile_size=args.tile_size, spp_chunk=args.spp_chunk,
         checkpoint_path=args.checkpoint, output=args.output)
@@ -71,8 +74,8 @@ def run(cfg: RenderConfig) -> dict:
             scene, cam, cfg.image_width, cfg.n_samples, image_height=cfg.image_height,
             seed=cfg.seed, spp_chunk=cfg.spp_chunk,
             checkpoint_path=cfg.checkpoint_path, max_depth=cfg.max_depth,
-            tmin=cfg.tmin, compact=cfg.compact, rays_per_pass=cfg.rays_per_pass,
-            progress=True)
+            tmin=cfg.tmin, compact=cfg.compact, persistent=cfg.persistent,
+            rays_per_pass=cfg.rays_per_pass, progress=True)
         linear = state.image
     elif cfg.mesh_tiles * cfg.mesh_samples > 1:
         from .parallel.mesh import make_render_mesh
@@ -87,6 +90,7 @@ def run(cfg: RenderConfig) -> dict:
             scene, cam, cfg.image_width, cfg.n_samples,
             image_height=cfg.image_height, max_depth=cfg.max_depth,
             tmin=cfg.tmin, seed=cfg.seed, compact=cfg.compact,
+            persistent=cfg.persistent,
             rays_per_pass=cfg.rays_per_pass, dtype=cfg.dtype()))
     wall = time.time() - t0
 

@@ -71,7 +71,8 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                         seed: int = 0, spp_chunk: int = 50,
                         checkpoint_path: str | None = None,
                         max_depth: int = 16, tmin: float = 1e-4,
-                        compact: bool = True, rays_per_pass: int = 1 << 21,
+                        compact: bool = False, persistent: bool = True,
+                        rays_per_pass: int = 1 << 21,
                         progress: bool = False, max_retries: int = 2) -> RenderState:
     """Render ``n_samples`` in chunks of ``spp_chunk``, checkpointing after each.
 
@@ -101,7 +102,7 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
     tile_sum = jax.jit(render_tile_sum,
                        static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                         "f32_w", "f32_h", "compact",
-                                        "samples_per_pass"))
+                                        "samples_per_pass", "persistent"))
 
     while state.samples_done < n_samples:
         todo = min(spp_chunk, n_samples - state.samples_done)
@@ -113,7 +114,7 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                                sample_offset=state.samples_done,
                                max_depth=max_depth, tmin=tmin, remat=False,
                                f32_w=f32_w, f32_h=f32_h, compact=compact,
-                               samples_per_pass=spp_pass)
+                               samples_per_pass=spp_pass, persistent=persistent)
                 acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
                 break
             except Exception as e:  # noqa: BLE001 — device faults are opaque

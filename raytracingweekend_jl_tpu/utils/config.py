@@ -28,7 +28,8 @@ class RenderConfig:
     scene_seed: int = 1                 # for random_spheres
 
     # TPU-native execution knobs
-    compact: bool = True                # active-ray compaction (forward only)
+    compact: bool = False               # tile-skip/compaction integrator
+    persistent: bool = True             # persistent-wavefront integrator (fastest)
     rays_per_pass: int = 1 << 21        # wavefront size target
     mesh_tiles: int = 1                 # devices on the pixel-tile axis
     mesh_samples: int = 1               # devices on the sample axis
