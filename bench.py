@@ -23,8 +23,7 @@ FLAGSHIP_PATHS = 1920 * 1080 * 1000
 def main() -> None:
     import jax
     import raytracingweekend_jl_tpu as rtw
-    from raytracingweekend_jl_tpu.render import (render_tile_sum, pixel_coords,
-                                                 pick_samples_per_pass)
+    from raytracingweekend_jl_tpu.render import render_tile_sum, pixel_coords
 
     scene = rtw.scene_random_spheres(seed=1)
     cam = rtw.t_cam1()
@@ -36,16 +35,19 @@ def main() -> None:
     tile_sum = jax.jit(render_tile_sum,
                        static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                         "f32_w", "f32_h", "compact",
-                                        "samples_per_pass"))
+                                        "samples_per_pass", "persistent"))
 
-    spp_chunk = 4
-    spp_pass = pick_samples_per_pass(W * H, spp_chunk, 1 << 21)
+    spp_chunk = 25
+    spp_pass = 1
 
     def run_chunk(offset):
+        # Persistent wavefront (lanes pinned to pixels, in-place sample
+        # regeneration) + Pallas sweep kernel — the production forward path.
         acc = tile_sum(scene, cam, u, v, key, n_samples=spp_chunk,
                        sample_offset=offset, max_depth=16, tmin=1e-4,
                        remat=False, f32_w=f32_w, f32_h=f32_h,
-                       compact=True, samples_per_pass=spp_pass)
+                       compact=False, samples_per_pass=spp_pass,
+                       persistent=True)
         return float(acc.sum())  # host fetch = true sync on this platform
 
     t0 = time.time()
