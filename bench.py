@@ -7,9 +7,16 @@ Baseline (BASELINE.md): the reference renders random_spheres 1920x1080x1000spp
 in 1282.4 s on a 16-thread Ryzen 3700 = 1.617 Mpaths/s. ``vs_baseline`` is our
 steady-state Mpaths/s divided by that (higher is better). The flagship
 wall-clock estimate for the full 1000 spp render is included as an extra field.
+
+Robustness: the axon remote-compile service intermittently hangs for tens of
+minutes, so the measurement runs in a child process with a hard timeout and a
+couple of progressively smaller retries; the parent prints the JSON line.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -19,8 +26,12 @@ import numpy as np
 BASELINE_MPATHS_PER_S = 1920 * 1080 * 1000 / 1282.4 / 1e6  # ~1.617
 FLAGSHIP_PATHS = 1920 * 1080 * 1000
 
+#: (spp per measured chunk, number of measured chunks) attempts, large->small.
+ATTEMPTS = [(16, 3), (8, 3), (4, 2)]
+CHILD_TIMEOUT_S = 1500
 
-def main() -> None:
+
+def child(spp_chunk: int, n_chunks: int) -> None:
     import jax
     import raytracingweekend_jl_tpu as rtw
     from raytracingweekend_jl_tpu.render import render_tile_sum, pixel_coords
@@ -37,46 +48,81 @@ def main() -> None:
                                         "f32_w", "f32_h", "compact",
                                         "samples_per_pass", "persistent"))
 
-    spp_chunk = 25
-    spp_pass = 1
-
     def run_chunk(offset):
         # Persistent wavefront (lanes pinned to pixels, in-place sample
         # regeneration) + Pallas sweep kernel — the production forward path.
         acc = tile_sum(scene, cam, u, v, key, n_samples=spp_chunk,
                        sample_offset=offset, max_depth=16, tmin=1e-4,
                        remat=False, f32_w=f32_w, f32_h=f32_h,
-                       compact=False, samples_per_pass=spp_pass,
-                       persistent=True)
+                       compact=False, samples_per_pass=1, persistent=True)
         return float(acc.sum())  # host fetch = true sync on this platform
 
     t0 = time.time()
     run_chunk(0)  # compile + warm
     warm_s = time.time() - t0
 
-    # Steady state: measure a few chunks.
-    n_chunks = 3
     t0 = time.time()
     for c in range(1, n_chunks + 1):
         run_chunk(c * spp_chunk)
     steady_s = (time.time() - t0) / n_chunks
 
+    W, H = 1920, 1080
     paths_per_chunk = W * H * spp_chunk
     mpaths = paths_per_chunk / steady_s / 1e6
-    flagship_est_s = FLAGSHIP_PATHS / (mpaths * 1e6)
+    print(json.dumps({
+        "mpaths": mpaths, "warm_s": warm_s, "steady_s": steady_s,
+        "device": str(jax.devices()[0]),
+    }), flush=True)
 
+
+def main() -> None:
+    if os.environ.get("RTW_BENCH_CHILD"):
+        spp, n = int(sys.argv[1]), int(sys.argv[2])
+        child(spp, n)
+        return
+
+    result, used = None, None
+    for spp_chunk, n_chunks in ATTEMPTS:
+        env = dict(os.environ, RTW_BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(spp_chunk), str(n_chunks)],
+                env=env, capture_output=True, text=True,
+                timeout=CHILD_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                result = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if result is not None:
+            used = (spp_chunk, n_chunks)
+            break
+
+    if result is None:
+        print(json.dumps({
+            "metric": "flagship_throughput_random_spheres_1920x1080",
+            "value": 0.0, "unit": "Mpaths/s", "vs_baseline": 0.0,
+            "error": "all bench child attempts timed out (compile service)",
+        }))
+        return
+
+    mpaths = result["mpaths"]
     print(json.dumps({
         "metric": "flagship_throughput_random_spheres_1920x1080",
         "value": round(mpaths, 3),
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths / BASELINE_MPATHS_PER_S, 3),
         "baseline_mpaths_per_s": round(BASELINE_MPATHS_PER_S, 3),
-        "flagship_wallclock_est_s": round(flagship_est_s, 1),
+        "flagship_wallclock_est_s": round(FLAGSHIP_PATHS / (mpaths * 1e6), 1),
         "baseline_flagship_wallclock_s": 1282.4,
-        "spp_chunk": spp_chunk,
-        "samples_per_pass": spp_pass,
-        "warm_s": round(warm_s, 1),
-        "device": str(jax.devices()[0]),
+        "spp_chunk": used[0],
+        "warm_s": round(result["warm_s"], 1),
+        "device": result.get("device", "unknown"),
     }))
 
 
