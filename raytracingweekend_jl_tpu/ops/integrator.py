@@ -34,15 +34,26 @@ from .materials import scatter, slot_keys
 
 
 def _pick_intersector(use_pallas):
-    """Resolve the intersection backend: the Pallas sweep kernel on TPU
-    (measured ~18% faster than the fused XLA sweep and differentiable via its
-    analytic VJP), the XLA sweep on CPU. ``use_pallas`` forces either way."""
+    """Resolve the intersection backend as a function returning
+    ``(HitResult, attrs-or-None)``: on TPU the fused Pallas sweep+fetch kernel
+    (faster than the XLA sweep AND returns the winning sphere's attributes,
+    skipping the one-hot fetch; differentiable via its analytic VJP); on CPU
+    the XLA sweep with attrs fetched later by `scatter`. ``use_pallas`` forces
+    either way."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
-        from .pallas.intersect_kernel import intersect_spheres_pallas
-        return intersect_spheres_pallas
-    return intersect_spheres
+        from .pallas.intersect_kernel import intersect_fetch_pallas
+
+        def pallas_isect(org, d, scene, tmin):
+            return intersect_fetch_pallas(org, d, scene, tmin=tmin)
+
+        return pallas_isect
+
+    def xla_isect(org, d, scene, tmin):
+        return intersect_spheres(org, d, scene, tmin=tmin), None
+
+    return xla_isect
 
 #: Reference default bounce depth (src/ray_color.jl:14); 4 is insufficient for
 #: hollow glass (README.md:208-210).
@@ -85,7 +96,7 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
 
     def body(b, state):
         org, d, thr, rad, alive = state
-        res = intersect(org, d, scene, tmin=tmin)
+        res, attrs = intersect(org, d, scene, tmin)
 
         # Miss: accumulate sky once, then the ray dies
         # (reference: src/ray_color.jl:35-37).
@@ -97,7 +108,8 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
         key_b = jax.random.fold_in(key, b)
         rk = slot_keys(key_b, slots) if slots is not None else None
-        s = scatter(scene, org, d, t_safe, res.index, key_b, ray_keys=rk)
+        s = scatter(scene, org, d, t_safe, res.index, key_b, ray_keys=rk,
+                    attrs=attrs)
 
         live_hit = (alive & res.hit)[..., None]
         org = jnp.where(live_hit, s.origin, org)
@@ -199,13 +211,13 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
 
             def do(args):
                 o_t, d_t, thr_t, rad_t, al_t, slot_t = args
-                res = intersect(o_t, d_t, scene, tmin=tmin)
+                res, attrs = intersect(o_t, d_t, scene, tmin)
                 miss_now = al_t & ~res.hit
                 rad_t = rad_t + jnp.where(miss_now[..., None],
                                           thr_t * skycolor(d_t), 0.0)
                 t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
                 s = scatter(scene, o_t, d_t, t_safe, res.index, key_b,
-                            ray_keys=slot_keys(key_b, slot_t))
+                            ray_keys=slot_keys(key_b, slot_t), attrs=attrs)
                 live_hit = (al_t & res.hit)[..., None]
                 return (jnp.where(live_hit, s.origin, o_t),
                         jnp.where(live_hit, s.direction, d_t),
@@ -310,7 +322,7 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
 
     def body(st):
         org, d, thr, rad, bounces, sample_ids, active, it = st
-        res = intersect(org, d, scene, tmin=tmin)
+        res, attrs = intersect(org, d, scene, tmin)
 
         hit = active & res.hit
         miss = active & ~res.hit
@@ -319,7 +331,8 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
         t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
         keys_sc = jax.vmap(jax.random.fold_in)(fold2(key_sc, slots, sample_ids),
                                                bounces)
-        sc = scatter(scene, org, d, t_safe, res.index, key_sc, ray_keys=keys_sc)
+        sc = scatter(scene, org, d, t_safe, res.index, key_sc, ray_keys=keys_sc,
+                     attrs=attrs)
 
         new_b = bounces + 1
         cont = hit & (new_b < max_depth)

@@ -175,3 +175,170 @@ def intersect_spheres_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
     t, idx = _sweep(origin, direction, (scene.center, scene.radius), tmin,
                     interpret)
     return HitResult(t=t, index=idx, hit=t < BIG)
+
+
+# ---------------------------------------------------------------------------
+# Fused sweep + hit-attribute fetch (kernel v2)
+# ---------------------------------------------------------------------------
+
+def _sweep_fetch_kernel(cx_ref, cy_ref, cz_ref, ck_ref, r_ref, ar_ref, ag_ref,
+                        ab_ref, fz_ref, ir_ref, mt_ref,  # [N] SMEM scalars
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        t_ref, idx_ref, bcx_ref, bcy_ref, bcz_ref, br_ref,
+                        bar_ref, bag_ref, bab_ref, bfz_ref, bir_ref, bmt_ref,
+                        *, n_spheres: int, tmin: float):
+    """Sweep + running-select of the winning sphere's attributes.
+
+    Eliminates the post-sweep one-hot [R,N] contraction entirely: the loop
+    that already knows the winner tracks (center, radius, albedo, fuzz, ir,
+    mat) alongside (best_t, best_idx) with one select each per sphere."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    big = jnp.float32(BIG)
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    init = (jnp.full(ox.shape, big, jnp.float32), jnp.zeros(ox.shape, jnp.int32),
+            zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+
+    def body(s, carry):
+        (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bfz, bir, bmt) = carry
+        cxs, cys, czs, cks = cx_ref[s], cy_ref[s], cz_ref[s], ck_ref[s]
+        cd = cxs * dx + cys * dy + czs * dz
+        oc = cxs * ox + cys * oy + czs * oz
+        hb = od - cd
+        c = oo - 2.0 * oc + cks
+        disc = hb * hb - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r1 = -hb - sq
+        t = jnp.where(r1 >= tmin, r1, -hb + sq)
+        ok = (disc > 0) & (t >= tmin) & (t < bt)
+        sel = lambda a, b_: jnp.where(ok, a, b_)
+        return (sel(t, bt), sel(s, bi),
+                sel(cxs, bcx), sel(cys, bcy), sel(czs, bcz), sel(r_ref[s], br),
+                sel(ar_ref[s], bar), sel(ag_ref[s], bag), sel(ab_ref[s], bab),
+                sel(fz_ref[s], bfz), sel(ir_ref[s], bir), sel(mt_ref[s], bmt))
+
+    out = jax.lax.fori_loop(0, n_spheres, body, init)
+    for ref, val in zip((t_ref, idx_ref, bcx_ref, bcy_ref, bcz_ref, br_ref,
+                         bar_ref, bag_ref, bab_ref, bfz_ref, bir_ref, bmt_ref),
+                        out):
+        ref[:] = val
+
+
+@partial(jax.jit, static_argnames=("tmin", "interpret"))
+def _sweep_fetch_forward(origin, direction, centers, ck, radius, albedo, fuzz,
+                         ir, mat_f, tmin, interpret=False):
+    R = origin.shape[0]
+    n_spheres = centers.shape[0]
+    rows = -(-R // LANES)
+    rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    grid = rows // BLOCK_ROWS
+
+    ray_planes = [
+        _pad_rows(origin[:, 0], rows), _pad_rows(origin[:, 1], rows),
+        _pad_rows(origin[:, 2], rows),
+        _pad_rows(direction[:, 0], rows), _pad_rows(direction[:, 1], rows),
+        _pad_rows(direction[:, 2], rows),
+    ]
+    sphere_planes = [centers[:, 0], centers[:, 1], centers[:, 2], ck, radius,
+                     albedo[:, 0], albedo[:, 1], albedo[:, 2], fuzz, ir, mat_f]
+
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_refs: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(grid,),
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec] * 12,
+    )
+    shapes = ([jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+               jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
+              + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 10)
+    outs = pl.pallas_call(
+        partial(_sweep_fetch_kernel, n_spheres=n_spheres, tmin=tmin),
+        grid_spec=grid_spec,
+        out_shape=shapes,
+        interpret=interpret,
+    )(*sphere_planes, *ray_planes)
+    return tuple(o.reshape(-1)[:R] for o in outs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sweep_fetch(origin, direction, scene_params, tmin, interpret):
+    centers, radius, albedo, fuzz, ir, mat_f = scene_params
+    ck = jnp.sum(centers * centers, axis=-1) - radius * radius
+    return _sweep_fetch_forward(origin, direction, centers, ck, radius, albedo,
+                                fuzz, ir, mat_f, tmin, interpret)
+
+
+def _sweep_fetch_fwd(origin, direction, scene_params, tmin, interpret):
+    out = _sweep_fetch(origin, direction, scene_params, tmin, interpret)
+    t, idx = out[0], out[1]
+    return out, (origin, direction, scene_params, t, idx)
+
+
+def _sweep_fetch_bwd(tmin, interpret, residuals, cotangents):
+    origin, direction, scene_params, t, idx = residuals
+    centers, radius, albedo, fuzz, ir, mat_f = scene_params
+    (g_t, _g_idx, g_cx, g_cy, g_cz, g_r, g_ar, g_ag, g_ab, g_fz, g_ir,
+     _g_mt) = cotangents
+
+    hit = t < BIG
+    t_safe = jnp.where(hit, t, 0.0)
+    c_sel = centers[idx]
+    r_sel = radius[idx]
+    p = origin + t_safe[:, None] * direction - c_sel
+    pd = jnp.sum(p * direction, axis=-1)
+    denom = jnp.where(jnp.abs(pd) > 1e-12, pd, 1.0)
+    scale = jnp.where(hit & (jnp.abs(pd) > 1e-12), g_t / denom, 0.0)
+
+    d_origin = -scale[:, None] * p
+    d_direction = -(scale * t_safe)[:, None] * p
+
+    # Attr-plane cotangents scatter back to the winning sphere rows (masked to
+    # hits so miss lanes contribute nothing).
+    m = hit.astype(g_cx.dtype)
+    c_rows = jnp.stack([g_cx * m, g_cy * m, g_cz * m], -1) + scale[:, None] * p
+    a_rows = jnp.stack([g_ar * m, g_ag * m, g_ab * m], -1)
+
+    d_centers = jnp.zeros_like(centers).at[idx].add(
+        jnp.where(hit[:, None], c_rows, 0.0))
+    d_radius = jnp.zeros_like(radius).at[idx].add(
+        jnp.where(hit, g_r * m + scale * r_sel, 0.0))
+    d_albedo = jnp.zeros_like(albedo).at[idx].add(
+        jnp.where(hit[:, None], a_rows, 0.0))
+    d_fuzz = jnp.zeros_like(fuzz).at[idx].add(jnp.where(hit, g_fz * m, 0.0))
+    d_ir = jnp.zeros_like(ir).at[idx].add(jnp.where(hit, g_ir * m, 0.0))
+    d_mat = jnp.zeros_like(mat_f)
+    return d_origin, d_direction, (d_centers, d_radius, d_albedo, d_fuzz,
+                                   d_ir, d_mat)
+
+
+_sweep_fetch.defvjp(_sweep_fetch_fwd, _sweep_fetch_bwd)
+
+
+def intersect_fetch_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
+                           scene: Scene, tmin: float = DEFAULT_TMIN,
+                           interpret: bool = False):
+    """Fused sweep + attribute fetch: ``(HitResult, attrs)`` where ``attrs``
+    is the ``(center, radius, albedo, fuzz, ir, mat)`` tuple `scatter` expects.
+    Miss lanes get benign defaults (radius 0, ir 1) so no inf/NaN can leak
+    into masked shading lanes or their gradients."""
+    out = _sweep_fetch(origin, direction,
+                       (scene.center, scene.radius, scene.albedo, scene.fuzz,
+                        scene.ir, scene.mat.astype(jnp.float32)),
+                       tmin, interpret)
+    (t, idx, cx, cy, cz, r, ar, ag, ab, fz, irv, mt) = out
+    hit = t < BIG
+    center = jnp.stack([cx, cy, cz], axis=-1)
+    albedo = jnp.stack([ar, ag, ab], axis=-1)
+    attrs = (jnp.where(hit[:, None], center, 0.0),
+             jnp.where(hit, r, 0.0),
+             jnp.where(hit[:, None], albedo, 1.0),
+             jnp.where(hit, fz, 0.0),
+             jnp.where(hit, irv, 1.0),
+             jnp.where(hit, mt, 0.0).astype(jnp.int32))
+    return HitResult(t=t, index=idx, hit=hit), attrs

@@ -121,3 +121,78 @@ def test_custom_vjp_finite_diff():
 
     g = jax.grad(loss)(s32.center)
     np.testing.assert_allclose(float(g[0, 2]), fd, rtol=1e-3)
+
+
+def test_fused_fetch_matches_separate():
+    from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import intersect_fetch_pallas
+    from raytracingweekend_jl_tpu.ops.materials import gather_sphere_attrs
+    scene = scene_random_spheres(seed=1)
+    o, d = random_rays(512, seed=9, box=6.0)
+    ref = intersect_spheres(o, d, scene)
+    res, attrs = intersect_fetch_pallas(o, d, scene, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(res.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(ref.index)[hit],
+                                  np.asarray(res.index)[hit])
+    want = gather_sphere_attrs(scene, ref.index, jnp.float32)
+    names = ("center", "radius", "albedo", "fuzz", "ir", "mat")
+    for got, exp, name in zip(attrs, want, names):
+        np.testing.assert_allclose(np.asarray(got)[hit], np.asarray(exp)[hit],
+                                   atol=1e-6, err_msg=name)
+
+
+def test_fused_fetch_trace_matches_xla_trace():
+    # Full integrator with the fused kernel (interpret) vs the XLA path.
+    from raytracingweekend_jl_tpu import trace, scene_4_spheres, t_default_cam
+    from raytracingweekend_jl_tpu.camera import get_rays
+    from raytracingweekend_jl_tpu.render import pixel_coords
+    import raytracingweekend_jl_tpu.ops.integrator as integ
+
+    scene = scene_4_spheres()
+    u, v = pixel_coords(48, 27)
+    o, d = get_rays(t_default_cam(), u, v, KEY)
+
+    # Monkeypatch-free forcing: interpret-mode pallas via a wrapped intersector.
+    from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import intersect_fetch_pallas
+    orig = integ._pick_intersector
+    try:
+        integ._pick_intersector = lambda up: (
+            lambda org, dd, s, tm: intersect_fetch_pallas(org, dd, s, tmin=tm,
+                                                          interpret=True))
+        a = np.asarray(trace(scene, o, d, KEY, use_pallas=True))
+    finally:
+        integ._pick_intersector = orig
+    b = np.asarray(trace(scene, o, d, KEY, use_pallas=False))
+    # A handful of grazing-hit lanes may diverge chaotically under f32
+    # op-ordering differences between the sequential kernel min and XLA's
+    # argmin; require per-pixel agreement elsewhere and matched energy.
+    mismatch = (np.abs(a - b) > 1e-5).mean()
+    assert mismatch < 0.005, mismatch
+    np.testing.assert_allclose(a.mean(), b.mean(), atol=1e-4)
+
+
+def test_fused_fetch_grads():
+    from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import _sweep_fetch
+    scene = make_scene([
+        lambertian((0, 0, -2), 0.6, (0.3, 0.5, 0.7)),
+        lambertian((1.5, 0, -3), 0.8, (0.9, 0.2, 0.1)),
+    ], pad_to=4)
+    o, d = random_rays(128, seed=11, box=1.0)
+
+    def loss(params):
+        out = _sweep_fetch(o, d, params, 1e-4, True)
+        t = out[0]
+        albedo_r = out[6]
+        hit = t < 1e30
+        return jnp.sum(jnp.where(hit, t * albedo_r, 0.0))
+
+    params = (scene.center, scene.radius, scene.albedo, scene.fuzz, scene.ir,
+              scene.mat.astype(jnp.float32))
+    grads = jax.grad(loss)(params)
+    for g, name in zip(grads, ("center", "radius", "albedo", "fuzz", "ir", "mat")):
+        assert np.isfinite(np.asarray(g)).all(), name
+    # Albedo-r grad at sphere 0 = sum of t over rays hitting sphere 0.
+    ref = intersect_spheres(o, d, scene)
+    hit0 = np.asarray(ref.hit) & (np.asarray(ref.index) == 0)
+    expect = np.asarray(ref.t)[hit0].sum()
+    np.testing.assert_allclose(float(grads[2][0, 0]), expect, rtol=1e-4)
