@@ -33,20 +33,32 @@ from .intersect import intersect_spheres, DEFAULT_TMIN, BIG
 from .materials import scatter, slot_keys
 
 
-def _pick_intersector(use_pallas):
+def _pick_intersector(use_pallas, fused_attrs: bool = False):
     """Resolve the intersection backend as a function returning
-    ``(HitResult, attrs-or-None)``: on TPU the fused Pallas sweep+fetch kernel
-    (faster than the XLA sweep AND returns the winning sphere's attributes,
-    skipping the one-hot fetch; differentiable via its analytic VJP); on CPU
-    the XLA sweep with attrs fetched later by `scatter`. ``use_pallas`` forces
-    either way."""
+    ``(HitResult, attrs-or-None)``.
+
+    Default on TPU: the v1 Pallas sweep kernel + the one-hot MXU attribute
+    fetch in `scatter` — measured fastest (the v2 fused-attr kernel's ~10
+    running-selects per sphere iteration cost more than the one-hot matmul
+    they replace: 6.5 vs 7.4 Mpaths/s persistent). ``fused_attrs=True`` picks
+    the v2 kernel (fewer HBM intermediates; useful under memory pressure).
+    CPU: the XLA sweep with plain gathers. All variants are differentiable.
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
-        from .pallas.intersect_kernel import intersect_fetch_pallas
+        if fused_attrs:
+            from .pallas.intersect_kernel import intersect_fetch_pallas
+
+            def pallas_fetch_isect(org, d, scene, tmin):
+                return intersect_fetch_pallas(org, d, scene, tmin=tmin)
+
+            return pallas_fetch_isect
+
+        from .pallas.intersect_kernel import intersect_spheres_pallas
 
         def pallas_isect(org, d, scene, tmin):
-            return intersect_fetch_pallas(org, d, scene, tmin=tmin)
+            return intersect_spheres_pallas(org, d, scene, tmin=tmin), None
 
         return pallas_isect
 
