@@ -8,7 +8,10 @@ Run:  python examples/tutorial.py [--width 200] [--spp 16]
 
 import argparse
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

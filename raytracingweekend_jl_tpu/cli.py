@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0 enables chunked rendering with checkpoints")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     p.add_argument("-o", "--output", default=d.output, help=".png or .ppm")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-bounce wavefront occupancy before rendering")
     return p
 
 
@@ -54,6 +56,31 @@ def config_from_args(args) -> RenderConfig:
         mesh_tiles=args.mesh_tiles, mesh_samples=args.mesh_samples,
         tile_size=args.tile_size, spp_chunk=args.spp_chunk,
         checkpoint_path=args.checkpoint, output=args.output)
+
+
+def print_occupancy(cfg: RenderConfig) -> None:
+    """Per-bounce live-ray / active-tile counts for this config (SURVEY.md §5
+    observability: bounce occupancy + compaction ratio)."""
+    import jax
+    import numpy as np
+    from .ops.integrator import trace_occupancy
+    from .camera import get_rays
+    from .render import pixel_coords, image_height_for
+
+    scene = cfg.build_scene()
+    cam = cfg.build_camera()
+    H = cfg.image_height or image_height_for(cfg.image_width)
+    u, v = pixel_coords(cfg.image_width, H, dtype=cam.origin.dtype)
+    o, d = get_rays(cam, u, v, jax.random.PRNGKey(cfg.seed))
+    counts, tiles = trace_occupancy(scene, o, d, jax.random.PRNGKey(cfg.seed),
+                                    max_depth=cfg.max_depth, tmin=cfg.tmin)
+    counts = np.asarray(counts); tiles = np.asarray(tiles)
+    n = cfg.image_width * H
+    print(json.dumps({
+        "bounce_occupancy": [round(float(c) / n, 4) for c in counts],
+        "active_tiles": tiles.tolist(),
+        "mean_path_length": round(float(counts.sum()) / n, 3),
+    }))
 
 
 def run(cfg: RenderConfig) -> dict:
@@ -109,7 +136,11 @@ def run(cfg: RenderConfig) -> dict:
 
 
 def main(argv=None) -> None:
-    run(config_from_args(build_parser().parse_args(argv)))
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    if args.stats:
+        print_occupancy(cfg)
+    run(cfg)
 
 
 if __name__ == "__main__":

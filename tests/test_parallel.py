@@ -87,3 +87,15 @@ def test_sharded_train_step_runs_and_reduces():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_render_mesh(n_tiles=3, n_samples=2)  # 6 != 8
+
+
+def test_multihost_helpers_single_process():
+    from raytracingweekend_jl_tpu.parallel import multihost
+    # Single-process: initialize is a no-op; mesh spans local devices.
+    multihost.initialize()
+    mesh = multihost.make_multihost_mesh(n_samples_axis=2)
+    assert mesh.shape["tiles"] * mesh.shape["samples"] == len(jax.devices())
+    start, stop = multihost.host_local_rows(36, 64, tile_size=256)
+    assert start == 0 and stop == 36 * 64
+    with pytest.raises(ValueError):
+        multihost.make_multihost_mesh(n_samples_axis=3)
