@@ -89,13 +89,33 @@ def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
         scene.ir[:, None].astype(jnp.float32),
         scene.mat[:, None].astype(jnp.float32),
     ], axis=1)  # [N, 10]
-    onehot = (index[:, None]
-              == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)).astype(jnp.float32)
-    rows = jnp.dot(onehot, attr, precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)  # [R, 10] on the MXU
-    rows = rows.astype(dtype)
+    rows = _onehot_rows_exact(index, attr, n).astype(dtype)
     return (rows[:, 0:3], rows[:, 3], rows[:, 4:7], rows[:, 7], rows[:, 8],
             rows[:, 9].astype(jnp.int32))
+
+
+def _onehot_rows_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``attr[index]`` as a single bf16 MXU pass, bit-exact for float32 attrs.
+
+    The one-hot matrix is exact in bfloat16 (entries 0/1); the float32
+    attribute matrix is split into three non-overlapping bf16 parts
+    (hi + mid + lo == attr exactly, 3x8 mantissa bits >= f32's 24) packed
+    side by side so ONE default-precision [R,N]@[N,3F] matmul covers all
+    parts; with exactly one nonzero product per output and f32 accumulation
+    the recombined rows equal the gather bitwise. This reads the [R,N]
+    one-hot once — HIGHEST-precision f32 matmuls read operands three times,
+    which dominated the shading stage at flagship wavefront sizes.
+    """
+    f = attr.shape[1]
+    hi = attr.astype(jnp.bfloat16)
+    rem = attr - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed = jnp.concatenate([hi, mid, lo], axis=1)  # [N, 3F] bf16
+    onehot = (index[:, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)).astype(jnp.bfloat16)
+    rows3 = jnp.dot(onehot, packed, preferred_element_type=jnp.float32)
+    return rows3[:, 0:f] + rows3[:, f:2 * f] + rows3[:, 2 * f:3 * f]
 
 
 def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,

@@ -133,3 +133,15 @@ def test_trace_remat_matches():
     a = np.asarray(trace(scene, o, d, KEY, remat=False))
     b = np.asarray(trace(scene, o, d, KEY, remat=True))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_onehot_rows_exact_matches_gather():
+    # The bf16x3-split one-hot contraction must equal the gather bitwise.
+    from raytracingweekend_jl_tpu.ops.materials import _onehot_rows_exact
+    from raytracingweekend_jl_tpu import scene_random_spheres
+    scene = scene_random_spheres(seed=1)
+    attr = jnp.concatenate([scene.center, scene.radius[:, None], scene.albedo,
+                            scene.fuzz[:, None], scene.ir[:, None]], axis=1)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (4096,), 0, scene.n_spheres)
+    rows = _onehot_rows_exact(idx, attr, scene.n_spheres)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(attr)[np.asarray(idx)])
