@@ -27,7 +27,7 @@ BASELINE_MPATHS_PER_S = 1920 * 1080 * 1000 / 1282.4 / 1e6  # ~1.617
 FLAGSHIP_PATHS = 1920 * 1080 * 1000
 
 #: (spp per measured chunk, number of measured chunks) attempts, large->small.
-ATTEMPTS = [(16, 3), (8, 3), (4, 2)]
+ATTEMPTS = [(25, 3), (16, 3), (8, 2)]
 CHILD_TIMEOUT_S = 1500
 
 

@@ -32,8 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ...scene import Scene
 from ..intersect import HitResult, DEFAULT_TMIN, BIG
 
-#: Rays per program instance: (BLOCK_ROWS, 128) lanes.
-BLOCK_ROWS = 32
+import os
+
+#: Rays per program instance: (BLOCK_ROWS, 128) lanes. Env-tunable for block
+#: size sweeps (RTW_BLOCK_ROWS); 32 measured best on v5e among {16, 32, 64}.
+BLOCK_ROWS = int(os.environ.get("RTW_BLOCK_ROWS", "32"))
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 
