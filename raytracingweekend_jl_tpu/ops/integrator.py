@@ -372,6 +372,90 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
     return st[3]
 
 
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
+                                   "f32_w", "f32_h", "interpret"))
+def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
+                                v: jnp.ndarray, key: jax.Array, n_samples: int,
+                                sample_offset, max_depth: int = DEFAULT_MAX_DEPTH,
+                                tmin: float = DEFAULT_TMIN, f32_w: float = 0.0,
+                                f32_h: float = 0.0,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Persistent renderer with the post-sweep body fused into ONE Pallas pass
+    (ops/pallas/shade_kernel.py): sky + shading + RNG + regeneration + state
+    update read and write the wavefront exactly once per bounce. Semantics
+    identical to :func:`persistent_render_sum`; RNG streams differ (TPU
+    hardware PRNG, positional = slot-keyed here since lanes never move), so
+    images agree statistically and RNG-free paths agree exactly.
+    """
+    from ..camera import make_rays
+    from .sampling import concentric_disk_map, per_ray_uniforms
+    from .pallas.shade_kernel import shade_and_regen, pack_camera_consts
+    from .materials import _onehot_rows_exact
+    from .. import rng as rngmod
+
+    if max_depth <= 0 or n_samples <= 0:
+        return jnp.zeros((u.shape[0], 3), u.dtype)
+
+    dtype = u.dtype
+    R = u.shape[0]
+    slots = jnp.arange(R, dtype=jnp.int32)
+    intersect = _pick_intersector(None if not interpret else False)
+    key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
+    cam_consts = pack_camera_consts(cam, int(f32_w), int(f32_h))
+
+    # Winning-attr matrix for the one-hot row fetch ([N, 10]).
+    attr_mat = jnp.concatenate([
+        scene.center.astype(jnp.float32), scene.radius[:, None].astype(jnp.float32),
+        scene.albedo.astype(jnp.float32), scene.fuzz[:, None].astype(jnp.float32),
+        scene.ir[:, None].astype(jnp.float32),
+        scene.mat[:, None].astype(jnp.float32)], axis=1)
+
+    # Initial rays: threefry-keyed by (slot, sample) like the XLA persistent
+    # path — only the regenerated samples use the in-kernel PRNG.
+    def fold2(base, a, b_):
+        k = jax.vmap(jax.random.fold_in, (None, 0))(base, a)
+        return jax.vmap(jax.random.fold_in)(k, b_)
+
+    sample_ids = jnp.full((R,), sample_offset, jnp.int32)
+    keys0 = fold2(key_cam, slots, sample_ids)
+    u4 = per_ray_uniforms(keys0, 4, dtype=dtype)
+    jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
+                       u4[:, 0:2] * jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype))
+    disk = concentric_disk_map(u4[:, 2:4] * 2.0 - 1.0)
+    org, d = make_rays(cam, u + jit_uv[:, 0], v + jit_uv[:, 1], disk)
+
+    state = (org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             jnp.ones((R,), dtype), jnp.ones((R,), dtype), jnp.ones((R,), dtype),
+             jnp.zeros((R,), dtype), jnp.zeros((R,), dtype), jnp.zeros((R,), dtype),
+             jnp.zeros((R,), jnp.int32), sample_ids, jnp.ones((R,), jnp.int32))
+
+    last_sample = sample_offset + n_samples - 1
+    base_seed = jnp.sum(jax.random.key_data(key).astype(jnp.int32)) \
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else jnp.int32(0)
+
+    def cond(st):
+        state, it = st
+        return jnp.any(state[14] != 0) & (it < n_samples * max_depth)
+
+    def body(st):
+        state, it = st
+        o = jnp.stack(state[0:3], axis=-1)
+        dd = jnp.stack(state[3:6], axis=-1)
+        res, _ = intersect(o, dd, scene, tmin)
+        attrs10 = _onehot_rows_exact(res.index, attr_mat, scene.n_spheres)
+        rng_u9 = None
+        if interpret:
+            # The hardware PRNG has no CPU lowering; feed threefry uniforms.
+            rng_u9 = jax.random.uniform(jax.random.fold_in(key, it), (9, R))
+        state = shade_and_regen(state, res.t, attrs10, u, v, cam_consts,
+                                base_seed + it, last_sample, max_depth, tmin,
+                                interpret=interpret, rng_u9=rng_u9)
+        return state, it + 1
+
+    (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return jnp.stack(state[9:12], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))
 def trace_occupancy(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
                     key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,

@@ -1,0 +1,70 @@
+"""Fused shade+regen kernel (interpret mode) vs the XLA persistent path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingweekend_jl_tpu import (make_scene, metal, lambertian, dielectric,
+                                      default_camera, scene_2_spheres,
+                                      scene_4_spheres, t_default_cam)
+from raytracingweekend_jl_tpu.ops.integrator import (persistent_render_sum,
+                                                     persistent_render_sum_fused)
+from raytracingweekend_jl_tpu.render import pixel_coords
+
+KEY = jax.random.PRNGKey(3)
+
+
+def run_both(scene, cam, W=48, H=27, spp=4, max_depth=16):
+    u, v = pixel_coords(W, H)
+    a = persistent_render_sum(scene, cam, u, v, KEY, spp, 0, max_depth, 1e-4,
+                              float(np.float32(W)), float(np.float32(H)))
+    b = persistent_render_sum_fused(scene, cam, u, v, KEY, spp, 0, max_depth,
+                                    1e-4, float(np.float32(W)),
+                                    float(np.float32(H)), interpret=True)
+    return np.asarray(a), np.asarray(b)
+
+
+def test_fused_mirror_exact():
+    # RNG-free paths (fuzz-0 metal, aperture 0, spp=1): bit-level agreement of
+    # every deterministic quantity.
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    a, b = run_both(scene, cam, spp=1)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fused_sky_only_exact():
+    scene = make_scene([])
+    a, b = run_both(scene, t_default_cam(), spp=1)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fused_diffuse_statistical():
+    a, b = run_both(scene_2_spheres(), t_default_cam(), spp=16)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 0.01 * 16
+    assert np.abs(a - b).mean() / 16 < 0.06
+
+
+def test_fused_all_materials_statistical():
+    a, b = run_both(scene_4_spheres(), t_default_cam(), spp=16)
+    assert abs(a.mean() - b.mean()) < 0.01 * 16
+
+
+def test_fused_glass_energy():
+    scene = make_scene([
+        lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0)),
+        dielectric((0, 0, -1), 0.5, 1.5),
+        dielectric((-1, 0, -1), -0.45, 1.5),
+    ])
+    a, b = run_both(scene, t_default_cam(), spp=8)
+    assert np.isfinite(b).all()
+    assert (b >= 0).all() and (b / 8 <= 1.0 + 1e-4).all()
+    assert abs(a.mean() - b.mean()) / 8 < 0.02
+
+
+def test_fused_depth_semantics():
+    # max_depth=1: hits die black after one scatter; sky misses accumulate.
+    a, b = run_both(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
+    np.testing.assert_allclose(a, b, atol=1e-6)
