@@ -43,12 +43,13 @@ _TWO_PI = 2.0 * np.pi
 
 def _uniforms(shape, n):
     """n independent U[0,1) float32 fields of `shape` from the core PRNG."""
-    # prng_random_bits yields SIGNED int32 — bitcast before shifting, or the
-    # arithmetic shift sign-extends and half the mass lands in [-0.5, 0)
-    # (observed as a ~1% radiance bias before the fix).
-    bits = pltpu.bitcast(pltpu.prng_random_bits((n,) + shape), jnp.uint32)
-    # Use the top 24 bits -> exact f32 in [0, 1).
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # prng_random_bits yields SIGNED int32: a bare arithmetic shift
+    # sign-extends and half the mass lands in [-0.5, 0) (observed as a ~1%
+    # radiance bias). Mosaic cannot cast uint32->f32, so shift signed and mask
+    # to the low 24 bits (== logical shift), then cast int32->f32 exactly.
+    bits = pltpu.prng_random_bits((n,) + shape)
+    b24 = jax.lax.bitwise_and(bits >> 8, jnp.int32(0xFFFFFF))
+    return b24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def _gauss3(u0, u1, u2, u3):
