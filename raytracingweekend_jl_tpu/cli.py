@@ -105,9 +105,12 @@ def run(cfg: RenderConfig) -> dict:
             rays_per_pass=cfg.rays_per_pass, progress=True)
         linear = state.image
     elif cfg.mesh_tiles * cfg.mesh_samples > 1:
+        import jax
         from .parallel.mesh import make_render_mesh
         from .parallel.shard import render_radiance_sharded
-        mesh = make_render_mesh(n_tiles=cfg.mesh_tiles, n_samples=cfg.mesh_samples)
+        n_mesh = cfg.mesh_tiles * cfg.mesh_samples
+        mesh = make_render_mesh(n_tiles=cfg.mesh_tiles, n_samples=cfg.mesh_samples,
+                                devices=jax.devices()[:n_mesh])
         linear = np.asarray(render_radiance_sharded(
             scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
             image_height=cfg.image_height, tile_size=cfg.tile_size,

@@ -141,3 +141,29 @@ def test_checkpoint_retries_transient_failure(tmp_path, monkeypatch):
     assert state.samples_done == 4
     assert np.isfinite(state.image).all()
     assert calls["n"] >= 3  # chunk1 ok, chunk2 failed once then retried
+
+
+def test_cli_sharded_path(tmp_path):
+    # mesh_tiles > 1 routes through the shard_map driver.
+    from raytracingweekend_jl_tpu.cli import run
+    from raytracingweekend_jl_tpu.utils.config import RenderConfig
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    os.chdir(tmp_path)
+    out = str(tmp_path / "sharded.png")
+    cfg = RenderConfig(scene="2_spheres", camera="default", image_width=64,
+                       n_samples=2, mesh_tiles=4, tile_size=256, output=out)
+    rec = run(cfg)
+    assert os.path.exists(out)
+    assert rec["paths"] == 64 * 36 * 2
+
+
+def test_cli_stats_flag(capsys, tmp_path):
+    from raytracingweekend_jl_tpu.cli import main
+    os.chdir(tmp_path)
+    main(["--scene", "2_spheres", "--camera", "default", "--width", "48",
+          "--spp", "1", "--no-compact", "--no-persistent", "--stats",
+          "-o", str(tmp_path / "s.png")])
+    out = capsys.readouterr().out
+    assert "bounce_occupancy" in out and "mean_path_length" in out
