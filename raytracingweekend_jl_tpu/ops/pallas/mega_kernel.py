@@ -1,0 +1,163 @@
+"""Megakernel: sphere sweep + shade + regenerate in ONE Pallas pass.
+
+The end point of the round-1 kernel series: per bounce iteration, each ray
+block is read into VMEM once, swept against the SMEM sphere SoA with
+running-select of the winning sphere's attributes (no [R,N] one-hot), shaded,
+regenerated, and written back in place (input/output aliasing). The wavefront
+state also stays in padded ``(rows, 128)`` plane form across the whole
+persistent loop, so the per-iteration XLA glue (pads, reshapes, stacks,
+column slices) disappears along with the separate one-hot and shade passes.
+
+Semantics: identical to persistent_render_sum / the fused shade path; RNG is
+the TPU hardware PRNG exactly as in shade_kernel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...scene import Scene
+from ..intersect import BIG
+from .intersect_kernel import LANES, _pad_rows
+from .shade_kernel import _shade_math, _uniforms, pack_camera_consts
+
+#: Rays per program instance.
+MEGA_ROWS = 64
+
+
+def _mega_kernel(cx_ref, cy_ref, cz_ref, ck_ref, r_ref, ar_ref, ag_ref,
+                 ab_ref, fz_ref, ir_ref, mt_ref,      # [N] sphere SoA (SMEM)
+                 cam_ref, iter_ref, lim_ref,          # camera consts + scalars
+                 *refs, n_spheres: int, max_depth: int, tmin: float,
+                 hw_prng: bool):
+    if hw_prng:
+        u9_ref = None
+    else:
+        u9_ref, refs = refs[0], refs[1:]
+    (fu_ref, fv_ref,
+     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
+     bo_ref, sa_ref, ac_ref,
+     oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, rxo, ryo, rzo,
+     boo, sao, aco) = refs
+
+    if hw_prng:
+        pltpu.prng_seed(iter_ref[0] + pl.program_id(0) * jnp.int32(40503))
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    # --- sweep with attribute running-select (reference: src/hit.jl:12-50) ---
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    big = jnp.float32(BIG)
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    init = (jnp.full(ox.shape, big, jnp.float32),
+            zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+
+    def body(s, carry):
+        (bt, bcx, bcy, bcz, br, bar, bag, bab, bfz, bir, bmt) = carry
+        cxs, cys, czs, cks = cx_ref[s], cy_ref[s], cz_ref[s], ck_ref[s]
+        cd = cxs * dx + cys * dy + czs * dz
+        oc = cxs * ox + cys * oy + czs * oz
+        hb = od - cd
+        c = oo - 2.0 * oc + cks
+        disc = hb * hb - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r1 = -hb - sq
+        t = jnp.where(r1 >= tmin, r1, -hb + sq)
+        ok = (disc > 0) & (t >= tmin) & (t < bt)
+        sel = lambda a, b_: jnp.where(ok, a, b_)
+        return (sel(t, bt),
+                sel(cxs, bcx), sel(cys, bcy), sel(czs, bcz), sel(r_ref[s], br),
+                sel(ar_ref[s], bar), sel(ag_ref[s], bag), sel(ab_ref[s], bab),
+                sel(fz_ref[s], bfz), sel(ir_ref[s], bir), sel(mt_ref[s], bmt))
+
+    (t, bcx, bcy, bcz, br, bar, bag, bab, bfz, bir, bmt) = \
+        jax.lax.fori_loop(0, n_spheres, body, init)
+
+    # --- shade + regen (shared value-level body) ---
+    u9 = _uniforms(ox.shape, 9) if hw_prng else u9_ref[:]
+    state_vals = (ox, oy, oz, dx, dy, dz,
+                  tx_ref[:], ty_ref[:], tz_ref[:],
+                  rx_ref[:], ry_ref[:], rz_ref[:],
+                  bo_ref[:], sa_ref[:], ac_ref[:])
+    attrs_vals = (bcx, bcy, bcz, br, bar, bag, bab, bfz, bir, bmt)
+    out = _shade_math(cam_ref, lim_ref[0], u9, t, attrs_vals,
+                      fu_ref[:], fv_ref[:], state_vals, max_depth)
+    for ref, val in zip((oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, rxo,
+                         ryo, rzo, boo, sao, aco), out):
+        ref[:] = val
+
+
+def mega_step(state_planes: tuple, scene: Scene, cam_consts: jnp.ndarray,
+              film_u_plane: jnp.ndarray, film_v_plane: jnp.ndarray,
+              iteration, last_sample, max_depth: int, tmin: float,
+              interpret: bool = False,
+              rng_u9_planes: jnp.ndarray | None = None) -> tuple:
+    """One full bounce iteration. All planes must already be padded
+    ``(rows, LANES)`` with rows a multiple of MEGA_ROWS; padding lanes must be
+    inactive. Returns the 15 updated planes (in-place aliased)."""
+    rows = film_u_plane.shape[0]
+    grid = rows // MEGA_ROWS
+
+    centers = scene.center.astype(jnp.float32)
+    radius = scene.radius.astype(jnp.float32)
+    ck = jnp.sum(centers * centers, axis=-1) - radius * radius
+    sphere_planes = [centers[:, 0], centers[:, 1], centers[:, 2], ck, radius,
+                     scene.albedo[:, 0].astype(jnp.float32),
+                     scene.albedo[:, 1].astype(jnp.float32),
+                     scene.albedo[:, 2].astype(jnp.float32),
+                     scene.fuzz.astype(jnp.float32),
+                     scene.ir.astype(jnp.float32),
+                     scene.mat.astype(jnp.float32)]
+
+    hw_prng = rng_u9_planes is None
+    spec = pl.BlockSpec((MEGA_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [rng_u9_planes]
+        rng_specs = [pl.BlockSpec((9, MEGA_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    n_in = 2 + 15
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=14,
+        grid=(grid,),
+        in_specs=rng_specs + [spec] * n_in,
+        out_specs=[spec] * 15,
+    )
+    f32 = jnp.float32
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), f32)] * 12
+                  + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 3)
+    first_state = 14 + len(rng_planes) + 2
+    aliases = {first_state + i: i for i in range(15)}
+
+    outs = pl.pallas_call(
+        partial(_mega_kernel, n_spheres=scene.n_spheres, max_depth=max_depth,
+                tmin=tmin, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*sphere_planes, cam_consts,
+      jnp.asarray(iteration, jnp.int32).reshape(1,),
+      jnp.asarray(last_sample, jnp.int32).reshape(1,),
+      *rng_planes, film_u_plane, film_v_plane, *state_planes)
+    return tuple(outs)
+
+
+def plane_rows(n: int) -> int:
+    rows = -(-n // LANES)
+    return -(-rows // MEGA_ROWS) * MEGA_ROWS
+
+
+def to_planes(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return _pad_rows(x, rows)

@@ -101,7 +101,25 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     tx, ty, tz = tx_ref[:], ty_ref[:], tz_ref[:]
     rx, ry, rz = rx_ref[:], ry_ref[:], rz_ref[:]
     bo, sa, ac = bo_ref[:], sa_ref[:], ac_ref[:]
-    t = t_ref[:]
+    u9 = _uniforms(ox.shape, 9) if hw_prng else u9_ref[:]
+    attrs_vals = (acx_ref[:], acy_ref[:], acz_ref[:], ar_ref[:], aar_ref[:],
+                  aag_ref[:], aab_ref[:], afz_ref[:], air_ref[:], amt_ref[:])
+    out = _shade_math(cam_ref, lim_ref[0], u9, t_ref[:], attrs_vals,
+                      fu_ref[:], fv_ref[:],
+                      (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa, ac),
+                      max_depth)
+    for ref, val in zip((oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, rxo,
+                         ryo, rzo, boo, sao, aco), out):
+        ref[:] = val
+
+
+def _shade_math(cam_ref, lim_val, u9, t, attrs_vals, fu, fv, state_vals,
+                max_depth: int):
+    """Value-level shade+regen body shared by the standalone shade kernel and
+    the all-in-one megakernel (mega_kernel.py). Returns the 15 updated state
+    planes as values."""
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa, ac) = state_vals
+    (acx, acy, acz, arr, aar, aag, aab, afz, air, amt) = attrs_vals
     active = ac != 0
 
     hitm = (t < jnp.float32(BIG)) & active
@@ -122,8 +140,8 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     px = ox + ts * dx
     py = oy + ts * dy
     pz = oz + ts * dz
-    cx, cy, cz = acx_ref[:], acy_ref[:], acz_ref[:]
-    rad_s = ar_ref[:]
+    cx, cy, cz = acx, acy, acz
+    rad_s = arr
     inv_r = jnp.where(rad_s == 0, 0.0, 1.0 / jnp.where(rad_s == 0, 1.0, rad_s))
     nx = (px - cx) * inv_r
     ny = (py - cy) * inv_r
@@ -133,7 +151,6 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     sgn = jnp.where(front, 1.0, -1.0)
     nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
-    u9 = _uniforms(ox.shape, 9) if hw_prng else u9_ref[:]
     g0, g1, g2 = _gauss3(u9[0], u9[1], u9[2], u9[3])
     gn = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
     ux, uy, uz = g0 * gn, g1 * gn, g2 * gn
@@ -153,13 +170,13 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     refx = dx - 2.0 * dn * nx
     refy = dy - 2.0 * dn * ny
     refz = dz - 2.0 * dn * nz
-    fz = afz_ref[:]
+    fz = afz
     mx, my, mz = refx + fz * ux, refy + fz * uy, refz + fz * uz
     mno = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-20))
     metx, mety, metz = mx * mno, my * mno, mz * mno
 
     # --- Dielectric (src/material.jl:41-53, src/light.jl:12-25) ---
-    irv = air_ref[:]
+    irv = air
     safe_ir = jnp.where(irv == 0, 1.0, irv)
     eta = jnp.where(front, 1.0 / safe_ir, safe_ir)
     cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
@@ -183,7 +200,7 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     dielz = jnp.where(choose_reflect, refz, fzz * fno)
 
     # --- dispatch on material code (0 lambert / 1 metal / 2 dielectric) ---
-    mt = amt_ref[:]
+    mt = amt
     is_lam = mt == 0
     is_met = mt == 1
     ndx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, dielx))
@@ -202,7 +219,6 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     dx = cf * ndx + ncf * dx
     dy = cf * ndy + ncf * dy
     dz = cf * ndz + ncf * dz
-    aar, aag, aab = aar_ref[:], aag_ref[:], aab_ref[:]
     tx = jnp.where(cont, tx * aar, tx)
     ty = jnp.where(cont, ty * aag, ty)
     tz = jnp.where(cont, tz * aab, tz)
@@ -211,7 +227,7 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     # --- regenerate: same pixel, next sample, in place ---
     need = miss | exhausted
     nxt = sa + 1
-    can = need & (nxt <= lim_ref[0])
+    can = need & (nxt <= lim_val)
     # camera constants
     cam = cam_ref
     o0x, o0y, o0z = cam[0], cam[1], cam[2]
@@ -226,8 +242,8 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     centered = nxt == 0
     ju = jnp.where(centered, 0.0, u9[5] * inv_w)
     jv = jnp.where(centered, 0.0, u9[6] * inv_h)
-    s_f = fu_ref[:] + ju
-    t_f = fv_ref[:] + jv
+    s_f = fu + ju
+    t_f = fv + jv
     da, db = _concentric(u9[7], u9[8])
     rdx, rdy = lensr * da, lensr * db
     offx = rdx * cux + rdy * cvx
@@ -255,12 +271,8 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
     sa = jnp.where(can, nxt, sa)
     active = (active & ~need) | can
 
-    for ref, val in zip(
-            (oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, rxo, ryo, rzo,
-             boo, sao, aco),
-            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa,
-             active.astype(jnp.int32))):
-        ref[:] = val
+    return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa,
+            active.astype(jnp.int32))
 
 
 def shade_and_regen(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,

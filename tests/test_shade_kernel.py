@@ -68,3 +68,40 @@ def test_fused_depth_semantics():
     # max_depth=1: hits die black after one scatter; sky misses accumulate.
     a, b = run_both(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def run_mega(scene, cam, W=48, H=27, spp=4, max_depth=16):
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_mega
+    u, v = pixel_coords(W, H)
+    return np.asarray(persistent_render_sum_mega(
+        scene, cam, u, v, KEY, spp, 0, max_depth, 1e-4,
+        float(np.float32(W)), float(np.float32(H)), interpret=True))
+
+
+def test_mega_mirror_exact():
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    a, _ = run_both(scene, cam, spp=1)
+    m = run_mega(scene, cam, spp=1)
+    np.testing.assert_allclose(a, m, atol=1e-5)
+
+
+def test_mega_sky_exact():
+    scene = make_scene([])
+    a, _ = run_both(scene, t_default_cam(), spp=1)
+    m = run_mega(scene, t_default_cam(), spp=1)
+    np.testing.assert_allclose(a, m, atol=1e-6)
+
+
+def test_mega_statistical():
+    a, _ = run_both(scene_4_spheres(), t_default_cam(), spp=16)
+    m = run_mega(scene_4_spheres(), t_default_cam(), spp=16)
+    assert np.isfinite(m).all()
+    assert abs(a.mean() - m.mean()) / 16 < 0.01
+    assert np.abs(a - m).mean() / 16 < 0.06
+
+
+def test_mega_depth_semantics():
+    a, _ = run_both(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
+    m = run_mega(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
+    np.testing.assert_allclose(a, m, atol=1e-6)
