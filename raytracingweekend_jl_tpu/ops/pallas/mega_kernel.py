@@ -10,6 +10,15 @@ column slices) disappears along with the separate one-hot and shade passes.
 
 Semantics: identical to persistent_render_sum / the fused shade path; RNG is
 the TPU hardware PRNG exactly as in shade_kernel.py.
+
+MEASURED RESULT (v5e, flagship): 5.9 Mpaths/s vs 11.5 for the production
+pipeline (v1 sweep kernel + MXU one-hot attribute fetch + fused shade
+kernel). The in-kernel attribute running-select adds ~10 VPU selects and 7
+extra SMEM scalar loads to every sphere iteration of the sweep — far more
+expensive than the one-hot contraction it replaces, which rides the
+otherwise-idle MXU. Kept as a validated experiment and a baseline for future
+sweep-side work (e.g. per-block sphere culling would shrink exactly the loop
+this kernel lengthens); NOT the default.
 """
 
 from __future__ import annotations
