@@ -17,9 +17,10 @@ from .utils.config import RenderConfig, CAMERA_PRESETS
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="raytracingweekend_jl_tpu",
                                 description="TPU-native differentiable path tracer")
+    from .models.scenes import ALL_SCENES
     d = RenderConfig()
-    p.add_argument("--scene", default=d.scene,
-                   help="scene name (see models.scenes.ALL_SCENES)")
+    p.add_argument("--scene", default=d.scene, choices=sorted(ALL_SCENES),
+                   help="scene name")
     p.add_argument("--camera", default=d.camera, choices=CAMERA_PRESETS)
     p.add_argument("--width", type=int, default=d.image_width)
     p.add_argument("--height", type=int, default=None,

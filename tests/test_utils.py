@@ -167,3 +167,9 @@ def test_cli_stats_flag(capsys, tmp_path):
           "-o", str(tmp_path / "s.png")])
     out = capsys.readouterr().out
     assert "bounce_occupancy" in out and "mean_path_length" in out
+
+
+def test_cli_rejects_unknown_scene():
+    from raytracingweekend_jl_tpu.cli import build_parser
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--scene", "nonexistent"])
