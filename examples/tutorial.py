@@ -76,8 +76,7 @@ def main():
     chapter(6, "The book-1 final scene")
     scene = rtw.scene_random_spheres(seed=1)
     t0 = time.time()
-    img = rtw.render(scene, rtw.t_cam1(), W, spp, compact=True,
-                     rays_per_pass=1 << 20)
+    img = rtw.render(scene, rtw.t_cam1(), W, spp, persistent=True)
     img = np.asarray(img)
     print(f"rendered {W}x{W*9//16}x{spp} in {time.time()-t0:.2f}s")
     write_png(img, out("ch6_random_spheres.png"))
