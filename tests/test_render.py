@@ -119,3 +119,17 @@ def test_hollow_glass_renders():
     img = np.asarray(render(scene_diel_spheres_hollow(), hollow_glass_cam(), 96, 8))
     assert np.isfinite(img).all()
     assert img.max() <= 1.0 + 1e-5
+
+
+def test_no_recompile_across_identical_renders():
+    # The TPU analog of the reference's zero-allocation contract tests
+    # (test/runtests.jl:129-158): repeated renders of the same configuration
+    # must not grow the compile cache (no per-call retraces).
+    from raytracingweekend_jl_tpu.render import _render_chunk
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    render_radiance(scene, cam, 48, 2, seed=1)
+    before = _render_chunk._cache_size()
+    render_radiance(scene, cam, 48, 2, seed=2)  # new seed = new key VALUE only
+    render_radiance(scene, cam, 48, 2, seed=3)
+    assert _render_chunk._cache_size() == before
