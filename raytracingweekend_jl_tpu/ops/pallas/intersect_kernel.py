@@ -56,8 +56,9 @@ def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [N] scalar-prefetch SMEM
     init_t = jnp.full(ox.shape, big, jnp.float32)
     init_i = jnp.zeros(ox.shape, jnp.int32)
 
-    def body(s, carry):
-        best_t, best_i = carry
+    unroll = 2 if n_spheres % 2 == 0 else 1
+
+    def one(s, best_t, best_i):
         cxs = cx_ref[s]
         cys = cy_ref[s]
         czs = cz_ref[s]
@@ -74,11 +75,18 @@ def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [N] scalar-prefetch SMEM
         # near root if acceptable, else far root (src/hit.jl:22-27)
         t = jnp.where(r1 >= tmin, r1, -hb + sq)
         ok = (disc > 0) & (t >= tmin) & (t < best_t)
-        best_t = jnp.where(ok, t, best_t)
-        best_i = jnp.where(ok, s, best_i)
+        return jnp.where(ok, t, best_t), jnp.where(ok, s, best_i)
+
+    def body(i, carry):
+        best_t, best_i = carry
+        # Python-unrolled pair: amortises loop/scalar-load overhead; the
+        # sequential updates keep results identical to the rolled loop.
+        for k in range(unroll):
+            best_t, best_i = one(i * unroll + k, best_t, best_i)
         return best_t, best_i
 
-    best_t, best_i = jax.lax.fori_loop(0, n_spheres, body, (init_t, init_i))
+    best_t, best_i = jax.lax.fori_loop(0, n_spheres // unroll, body,
+                                       (init_t, init_i))
     t_ref[:] = best_t
     idx_ref[:] = best_i
 
