@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...scene import Scene
 from ..intersect import BIG
 from .intersect_kernel import LANES, _pad_rows
-from .shade_kernel import _shade_math, _uniforms, pack_camera_consts
+from .shade_kernel import _shade_math, _uniforms
 
 #: Rays per program instance.
 MEGA_ROWS = 64

@@ -31,12 +31,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...scene import Scene
+import os
+
 from ..intersect import BIG
 from .intersect_kernel import LANES, _pad_rows
 
-#: Rays per program instance for the shade pass.
-SHADE_ROWS = 64
+#: Rays per program instance for the shade pass (env-tunable like BLOCK_ROWS).
+SHADE_ROWS = int(os.environ.get("RTW_SHADE_ROWS", "64"))
 
 _TWO_PI = 2.0 * np.pi
 
