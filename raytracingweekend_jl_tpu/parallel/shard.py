@@ -57,12 +57,13 @@ def _padded_coords(image_width: int, image_height: int, tile_size: int,
 @partial(jax.jit, static_argnames=("mesh", "image_width", "image_height",
                                    "n_samples", "tile_size", "max_depth",
                                    "tmin", "remat", "compact",
-                                   "samples_per_pass"))
+                                   "samples_per_pass", "persistent"))
 def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       mesh: Mesh, image_width: int, image_height: int,
                       n_samples: int, tile_size: int, max_depth: int,
                       tmin: float, remat: bool, compact: bool = False,
-                      samples_per_pass: int = 1) -> jnp.ndarray:
+                      samples_per_pass: int = 1,
+                      persistent: bool = False) -> jnp.ndarray:
     dtype = cam.origin.dtype
     n_tile_shards = mesh.shape[TILES_AXIS]
     n_sample_shards = mesh.shape[SAMPLES_AXIS]
@@ -92,7 +93,7 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
             tile_sum = render_tile_sum(scene, cam, u_tiles[i], v_tiles[i],
                                        tile_key, local_spp, sample_offset,
                                        max_depth, tmin, remat, f32_w, f32_h,
-                                       compact, samples_per_pass)
+                                       compact, samples_per_pass, persistent)
             return jax.lax.dynamic_update_slice(acc, tile_sum[None], (i, 0, 0))
 
         acc = jax.lax.fori_loop(
@@ -120,6 +121,7 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                             tmin: float = DEFAULT_TMIN,
                             seed: int | jax.Array = 0,
                             remat: bool = False, compact: bool = False,
+                            persistent: bool = False,
                             rays_per_pass: int | None = None) -> jnp.ndarray:
     """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``.
 
@@ -138,7 +140,7 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                              image_height=H, n_samples=n_samples,
                              tile_size=tile_size, max_depth=max_depth,
                              tmin=tmin, remat=remat, compact=compact,
-                             samples_per_pass=spp_pass)
+                             samples_per_pass=spp_pass, persistent=persistent)
 
 
 def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,

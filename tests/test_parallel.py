@@ -99,3 +99,16 @@ def test_multihost_helpers_single_process():
     assert start == 0 and stop == 36 * 64
     with pytest.raises(ValueError):
         multihost.make_multihost_mesh(n_samples_axis=3)
+
+
+def test_sharded_persistent_render():
+    # persistent integrator inside shard_map shards (CPU fallback body).
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    mesh = make_render_mesh(n_tiles=8)
+    img = np.asarray(render_radiance_sharded(scene, cam, 64, 4, mesh=mesh,
+                                             tile_size=256, seed=2,
+                                             persistent=True))
+    ref = np.asarray(render_radiance(scene, cam, 64, 4, seed=2))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 0.02
