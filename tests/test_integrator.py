@@ -145,3 +145,27 @@ def test_onehot_rows_exact_matches_gather():
     idx = jax.random.randint(jax.random.PRNGKey(0), (4096,), 0, scene.n_spheres)
     rows = _onehot_rows_exact(idx, attr, scene.n_spheres)
     np.testing.assert_array_equal(np.asarray(rows), np.asarray(attr)[np.asarray(idx)])
+
+
+def test_total_internal_reflection():
+    # A ray inside glass beyond the critical angle must mirror-reflect
+    # deterministically (cannot_refract, reference: src/material.jl:45-48).
+    # Unit glass sphere; exit point p=(0,0,1); direction at 60 deg from the
+    # outward normal (critical angle for ir=1.5 is ~41.8 deg).
+    from raytracingweekend_jl_tpu.ops.materials import scatter as scat
+    scene = make_scene([dielectric((0, 0, 0), 1.0, 1.5)])
+    n = np.array([0.0, 0.0, 1.0])
+    d = np.array([np.sin(np.deg2rad(60.0)), 0.0, np.cos(np.deg2rad(60.0))])
+    o = n - 0.9 * d                       # inside the sphere (|o| ~ 0.954)
+    o_j = jnp.asarray([o], jnp.float32)
+    d_j = jnp.asarray([d], jnp.float32)
+    res = intersect_spheres(o_j, d_j, scene)
+    assert bool(res.hit[0])
+    np.testing.assert_allclose(float(res.t[0]), 0.9, atol=1e-5)
+    s_out = scat(scene, o_j, d_j, res.t, res.index, KEY)
+    d_out = np.asarray(s_out.direction)[0]
+    # TIR is deterministic (no Schlick coin): exact mirror about the normal,
+    # outgoing ray stays inside (negative outward component).
+    expect = d - 2 * (d @ n) * n
+    np.testing.assert_allclose(d_out, expect, atol=1e-5)
+    assert d_out @ n < 0
