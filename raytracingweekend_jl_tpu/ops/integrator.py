@@ -26,6 +26,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..scene import Scene
@@ -530,6 +531,116 @@ def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
     (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     rad = [p.reshape(-1)[:R] for p in state[9:12]]
     return jnp.stack(rad, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
+                                   "f32_w", "f32_h", "k", "interpret"))
+def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
+                                  v: jnp.ndarray, key: jax.Array,
+                                  n_samples: int, sample_offset,
+                                  max_depth: int = DEFAULT_MAX_DEPTH,
+                                  tmin: float = DEFAULT_TMIN,
+                                  f32_w: float = 0.0, f32_h: float = 0.0,
+                                  k: int = 8,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Load-balanced persistent renderer: each lane serves ``k`` pixels spaced
+    ``R_lanes`` apart (different image rows), switching pixels in place when
+    one finishes its samples — the straggler fix for pixel-pinned lanes (see
+    _shade_strided_kernel). Requires ``u``/``v`` to be the FULL image's film
+    coordinates in row-major order (pixel ids are arithmetic).
+    """
+    from .pallas.shade_kernel import (shade_strided_step, pack_camera_consts,
+                                      SHADE_ROWS)
+    from .pallas.intersect_kernel import LANES
+    from .materials import _onehot_rows_exact
+
+    if max_depth <= 0 or n_samples <= 0:
+        return jnp.zeros((u.shape[0], 3), u.dtype)
+
+    dtype = u.dtype
+    W, H = int(f32_w), int(f32_h)
+    n_pix = u.shape[0]
+    assert n_pix == W * H, "strided renderer needs the full image"
+    r_lanes = -(-n_pix // k)
+    rows = -(-(-(-r_lanes // LANES)) // SHADE_ROWS) * SHADE_ROWS
+    lanes_padded = rows * LANES
+
+    cam_consts = pack_camera_consts(cam, W, H)
+    geom = jnp.asarray([W, H, r_lanes % W, r_lanes // W], jnp.int32)
+
+    def pad_plane(x):
+        return jnp.pad(x, (0, lanes_padded - r_lanes)).reshape(rows, LANES)
+
+    lane_ids = np.arange(r_lanes, dtype=np.int32)
+    px0 = jnp.asarray(lane_ids % W)
+    py0 = jnp.asarray(lane_ids // W)
+
+    # Initial rays (strip 0) via the threefry path, keyed by (pixel, sample).
+    from ..camera import make_rays
+    from .sampling import concentric_disk_map, per_ray_uniforms
+    from .. import rng as rngmod
+    key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
+    sample_ids = jnp.full((r_lanes,), sample_offset, jnp.int32)
+    keys0 = jax.vmap(jax.random.fold_in)(
+        jax.vmap(jax.random.fold_in, (None, 0))(key_cam, jnp.asarray(lane_ids)),
+        sample_ids)
+    u4 = per_ray_uniforms(keys0, 4, dtype=dtype)
+    jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
+                       u4[:, 0:2] * jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype))
+    disk = concentric_disk_map(u4[:, 2:4] * 2.0 - 1.0)
+    u_lane = (px0.astype(dtype) + 1.0) / f32_w
+    v_lane = (jnp.asarray(H - 1, dtype) - py0.astype(dtype)) / f32_h
+    org, d = make_rays(cam, u_lane + jit_uv[:, 0], v_lane + jit_uv[:, 1], disk)
+
+    ones = jnp.ones((r_lanes,), dtype)
+    zer = jnp.zeros((r_lanes,), dtype)
+    izer = jnp.zeros((r_lanes,), jnp.int32)
+    state_flat = ([org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                   ones, ones, ones, zer, zer, zer,
+                   izer, sample_ids, izer, px0, py0,
+                   jnp.ones((r_lanes,), jnp.int32)]
+                  + [zer] * (3 * k))
+    state = tuple(pad_plane(x) for x in state_flat)
+
+    attr_mat = jnp.concatenate([
+        scene.center.astype(jnp.float32), scene.radius[:, None].astype(jnp.float32),
+        scene.albedo.astype(jnp.float32), scene.fuzz[:, None].astype(jnp.float32),
+        scene.ir[:, None].astype(jnp.float32),
+        scene.mat[:, None].astype(jnp.float32)], axis=1)
+
+    intersect = _pick_intersector(None if not interpret else False)
+    last_sample = sample_offset + n_samples - 1
+    base_seed = jnp.sum(jax.random.key_data(key).astype(jnp.int32)) \
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else jnp.int32(0)
+
+    def cond(st):
+        state, it = st
+        return jnp.any(state[17] != 0) & (it < k * n_samples * max_depth)
+
+    def body(st):
+        state, it = st
+        o = jnp.stack([p.reshape(-1)[:r_lanes] for p in state[0:3]], axis=-1)
+        dd = jnp.stack([p.reshape(-1)[:r_lanes] for p in state[3:6]], axis=-1)
+        res, _ = intersect(o, dd, scene, tmin)
+        attrs10 = _onehot_rows_exact(res.index, attr_mat, scene.n_spheres)
+        rng_u9 = None
+        if interpret:
+            rng_u9 = jax.random.uniform(jax.random.fold_in(key, it),
+                                        (9, rows, LANES))
+        state = shade_strided_step(state, res.t, attrs10, cam_consts, geom,
+                                   base_seed + it, last_sample, sample_offset,
+                                   max_depth, k, interpret=interpret,
+                                   rng_u9=rng_u9)
+        return state, it + 1
+
+    (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    # Assemble: pixel p = j + c*r_lanes lives in buf strip c, lane j.
+    chans = []
+    for ch in range(3):
+        parts = [state[18 + 3 * c + ch].reshape(-1)[:r_lanes] for c in range(k)]
+        chans.append(jnp.concatenate(parts)[:n_pix])
+    return jnp.stack(chans, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "tile"))

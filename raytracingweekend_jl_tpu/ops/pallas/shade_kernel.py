@@ -114,14 +114,12 @@ def _shade_kernel(cam_ref, iter_ref, lim_ref,  # scalar prefetch: cam consts, se
         ref[:] = val
 
 
-def _shade_math(cam_ref, lim_val, u9, t, attrs_vals, fu, fv, state_vals,
-                max_depth: int):
-    """Value-level shade+regen body shared by the standalone shade kernel and
-    the all-in-one megakernel (mega_kernel.py). Returns the 15 updated state
-    planes as values."""
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa, ac) = state_vals
+def _shade_core(u9, t, attrs_vals, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                rx, ry, rz, active):
+    """Sky + hit geometry + all three materials, shared by every kernel
+    variant. Returns (rx, ry, rz with sky added, hitm, miss, hit point p,
+    new scatter direction nd, attenuation a)."""
     (acx, acy, acz, arr, aar, aag, aab, afz, air, amt) = attrs_vals
-    active = ac != 0
 
     hitm = (t < jnp.float32(BIG)) & active
     miss = active & ~hitm
@@ -207,6 +205,22 @@ def _shade_math(cam_ref, lim_val, u9, t, attrs_vals, fu, fv, state_vals,
     ndx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, dielx))
     ndy = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diely))
     ndz = jnp.where(is_lam, lamz, jnp.where(is_met, metz, dielz))
+
+    return (rx, ry, rz, hitm, miss, px, py, pz, ndx, ndy, ndz,
+            aar, aag, aab)
+
+
+def _shade_math(cam_ref, lim_val, u9, t, attrs_vals, fu, fv, state_vals,
+                max_depth: int):
+    """Value-level shade+regen body shared by the standalone shade kernel and
+    the all-in-one megakernel (mega_kernel.py): the shading core plus
+    same-pixel bookkeeping and regeneration. Returns the 15 updated state
+    planes as values."""
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, bo, sa, ac) = state_vals
+    active = ac != 0
+    (rx, ry, rz, hitm, miss, px, py, pz, ndx, ndy, ndz, aar, aag, aab) = \
+        _shade_core(u9, t, attrs_vals, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                    rx, ry, rz, active)
 
     # --- continue / exhaust / regen bookkeeping ---
     newb = bo + 1
@@ -347,3 +361,188 @@ def pack_camera_consts(cam, image_width: int, image_height: int) -> jnp.ndarray:
         jnp.asarray([cam.lens_radius, 1.0 / np.float32(image_width),
                      1.0 / np.float32(image_height)], jnp.float32),
     ])
+
+
+# ---------------------------------------------------------------------------
+# Strided multi-pixel shade+regen (load-balanced persistent lanes)
+# ---------------------------------------------------------------------------
+#
+# Pixel-pinned lanes straggle: a glass/metal pixel's mean path length (~14
+# bounces) is ~3x the scene average, so with one pixel per lane the while loop
+# runs until the SLOWEST pixel finishes all its samples and overall occupancy
+# collapses to ~40% (xprof round-1). Here each lane owns ``k`` pixels spaced
+# ``R_lanes`` apart across the image (different rows => decorrelated
+# workloads): when a pixel's samples are done the lane folds its accumulator
+# into the per-strip buffer and *switches pixels in place*. Per-lane work is
+# the MEAN over k pixels, shrinking the straggler gap ~sqrt(k)-fold.
+
+def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
+                          *refs, max_depth: int, hw_prng: bool, k: int):
+    if hw_prng:
+        u9_ref = None
+    else:
+        u9_ref, refs = refs[0], refs[1:]
+    n_state = 18 + 3 * k
+    in_refs = refs[:11 + n_state]
+    out_refs = refs[11 + n_state:]
+    (t_ref, acx_ref, acy_ref, acz_ref, ar_ref, aar_ref, aag_ref,
+     aab_ref, afz_ref, air_ref, amt_ref) = in_refs[:11]
+    st_in = in_refs[11:]
+
+    if hw_prng:
+        pltpu.prng_seed(iter_ref[0] + pl.program_id(0) * jnp.int32(40503))
+
+    ox, oy, oz = st_in[0][:], st_in[1][:], st_in[2][:]
+    dx, dy, dz = st_in[3][:], st_in[4][:], st_in[5][:]
+    tx, ty, tz = st_in[6][:], st_in[7][:], st_in[8][:]
+    cx_, cy_, cz_ = st_in[9][:], st_in[10][:], st_in[11][:]  # cur accumulator
+    bo, sa, strip = st_in[12][:], st_in[13][:], st_in[14][:]
+    pxi, pyi, ac = st_in[15][:], st_in[16][:], st_in[17][:]
+    bufs = [st_in[18 + i][:] for i in range(3 * k)]
+    active = ac != 0
+
+    u9 = _uniforms(ox.shape, 9) if hw_prng else u9_ref[:]
+    attrs_vals = (acx_ref[:], acy_ref[:], acz_ref[:], ar_ref[:], aar_ref[:],
+                  aag_ref[:], aab_ref[:], afz_ref[:], air_ref[:], amt_ref[:])
+    (cx_, cy_, cz_, hitm, miss, px, py, pz, ndx, ndy, ndz, aar, aag, aab) = \
+        _shade_core(u9, t_ref[:], attrs_vals, ox, oy, oz, dx, dy, dz,
+                    tx, ty, tz, cx_, cy_, cz_, active)
+
+    # continue bouncing
+    newb = bo + 1
+    cont = hitm & (newb < max_depth)
+    cf = cont.astype(jnp.float32)
+    ncf = 1.0 - cf
+    ox = cf * px + ncf * ox
+    oy = cf * py + ncf * oy
+    oz = cf * pz + ncf * oz
+    dx = cf * ndx + ncf * dx
+    dy = cf * ndy + ncf * dy
+    dz = cf * ndz + ncf * dz
+    tx = jnp.where(cont, tx * aar, tx)
+    ty = jnp.where(cont, ty * aag, ty)
+    tz = jnp.where(cont, tz * aab, tz)
+    bo = jnp.where(cont, newb, bo)
+
+    # ray finished: next sample of this pixel, or switch to the next pixel
+    need = miss | (hitm & ~cont)
+    last_sample = lim_ref[0]
+    first_sample = lim_ref[1]
+    nxt = sa + 1
+    same_pix = need & (nxt <= last_sample)
+    done_pix = need & ~same_pix
+
+    # fold the finished pixel's accumulator into its strip buffer
+    for c in range(k):
+        m = done_pix & (strip == c)
+        mfold = m.astype(jnp.float32)
+        bufs[3 * c + 0] = bufs[3 * c + 0] + mfold * cx_
+        bufs[3 * c + 1] = bufs[3 * c + 1] + mfold * cy_
+        bufs[3 * c + 2] = bufs[3 * c + 2] + mfold * cz_
+    keepf = 1.0 - done_pix.astype(jnp.float32)
+    cx_, cy_, cz_ = cx_ * keepf, cy_ * keepf, cz_ * keepf
+
+    # advance pixel coordinates by R_lanes (dpx/dpy precomputed, carry exact)
+    W = geom_ref[0]
+    Hm1 = geom_ref[1] - 1
+    dpx = geom_ref[2]
+    dpy = geom_ref[3]
+    npx = pxi + dpx
+    carry = (npx >= W).astype(jnp.int32)
+    npx = npx - W * carry
+    npy = pyi + dpy + carry
+    new_strip = strip + 1
+    pxi = jnp.where(done_pix, npx, pxi)
+    pyi = jnp.where(done_pix, npy, pyi)
+    strip = jnp.where(done_pix, new_strip, strip)
+    sa = jnp.where(done_pix, first_sample, jnp.where(same_pix, nxt, sa))
+    valid_new = npy <= Hm1
+    start = same_pix | (done_pix & (new_strip < k) & valid_new)
+
+    # camera ray for starting lanes (film coords from integer pixel coords)
+    cam = cam_ref
+    inv_w, inv_h = cam[19], cam[20]
+    u_f = (pxi + 1).astype(jnp.float32) * inv_w
+    v_f = (Hm1 - pyi).astype(jnp.float32) * inv_h
+    centered = sa == 0
+    ju = jnp.where(centered, 0.0, u9[5] * inv_w)
+    jv = jnp.where(centered, 0.0, u9[6] * inv_h)
+    s_f = u_f + ju
+    t_f = v_f + jv
+    da, db = _concentric(u9[7], u9[8])
+    rdx, rdy = cam[18] * da, cam[18] * db
+    offx = rdx * cam[12] + rdy * cam[15]
+    offy = rdx * cam[13] + rdy * cam[16]
+    offz = rdx * cam[14] + rdy * cam[17]
+    gox, goy, goz = cam[0] + offx, cam[1] + offy, cam[2] + offz
+    gdx = cam[3] + s_f * cam[6] + t_f * cam[9] - cam[0] - offx
+    gdy = cam[4] + s_f * cam[7] + t_f * cam[10] - cam[1] - offy
+    gdz = cam[5] + s_f * cam[8] + t_f * cam[11] - cam[2] - offz
+    gno = jax.lax.rsqrt(jnp.maximum(gdx * gdx + gdy * gdy + gdz * gdz, 1e-20))
+    stf = start.astype(jnp.float32)
+    nstf = 1.0 - stf
+    ox = stf * gox + nstf * ox
+    oy = stf * goy + nstf * oy
+    oz = stf * goz + nstf * oz
+    dx = stf * (gdx * gno) + nstf * dx
+    dy = stf * (gdy * gno) + nstf * dy
+    dz = stf * (gdz * gno) + nstf * dz
+    tx = jnp.where(start, 1.0, tx)
+    ty = jnp.where(start, 1.0, ty)
+    tz = jnp.where(start, 1.0, tz)
+    bo = jnp.where(start, 0, bo)
+    active = (active & ~need) | start
+
+    out_vals = ([ox, oy, oz, dx, dy, dz, tx, ty, tz, cx_, cy_, cz_,
+                 bo, sa, strip, pxi, pyi, active.astype(jnp.int32)] + bufs)
+    for ref, val in zip(out_refs, out_vals):
+        ref[:] = val
+
+
+def shade_strided_step(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
+                       cam_consts: jnp.ndarray, geom: jnp.ndarray,
+                       iteration, last_sample, first_sample,
+                       max_depth: int, k: int,
+                       interpret: bool = False,
+                       rng_u9: jnp.ndarray | None = None) -> tuple:
+    """One strided shade+regen iteration over pre-padded (rows,128) planes."""
+    rows = state[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = rng_u9 is None
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [rng_u9]
+        rng_specs = [pl.BlockSpec((9, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    pad2 = lambda x: _pad_rows(x, rows)
+    hit_planes = [pad2(t)] + [pad2(attrs10[:, i]) for i in range(10)]
+
+    n_state = len(state)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=rng_specs + [spec] * (11 + n_state),
+        out_specs=[spec] * n_state,
+    )
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct((rows, LANES),
+                                       s_.dtype) for s_ in state]
+    first_state = 4 + len(rng_planes) + 11
+    aliases = {first_state + i: i for i in range(n_state)}
+
+    outs = pl.pallas_call(
+        partial(_shade_strided_kernel, max_depth=max_depth, hw_prng=hw_prng,
+                k=(n_state - 18) // 3),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(cam_consts, jnp.asarray(iteration, jnp.int32).reshape(1,),
+      jnp.asarray([last_sample, first_sample], jnp.int32), geom,
+      *rng_planes, *hit_planes, *state)
+    return tuple(outs)

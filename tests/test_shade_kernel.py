@@ -105,3 +105,48 @@ def test_mega_depth_semantics():
     a, _ = run_both(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
     m = run_mega(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
     np.testing.assert_allclose(a, m, atol=1e-6)
+
+
+def run_strided(scene, cam, W=48, H=27, spp=4, max_depth=16, k=4):
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    u, v = pixel_coords(W, H)
+    return np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, spp, 0, max_depth, 1e-4,
+        float(np.float32(W)), float(np.float32(H)), k=k, interpret=True))
+
+
+def test_strided_sky_exact():
+    scene = make_scene([])
+    a, _ = run_both(scene, t_default_cam(), spp=1)
+    m = run_strided(scene, t_default_cam(), spp=1)
+    np.testing.assert_allclose(a, m, atol=1e-5)
+
+
+def test_strided_mirror_exact():
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    a, _ = run_both(scene, cam, spp=1)
+    m = run_strided(scene, cam, spp=1)
+    np.testing.assert_allclose(a, m, atol=1e-5)
+
+
+def test_strided_statistical():
+    a, _ = run_both(scene_4_spheres(), t_default_cam(), spp=16)
+    m = run_strided(scene_4_spheres(), t_default_cam(), spp=16)
+    assert np.isfinite(m).all()
+    assert abs(a.mean() - m.mean()) / 16 < 0.01
+    assert np.abs(a - m).mean() / 16 < 0.06
+
+
+def test_strided_depth_semantics():
+    a, _ = run_both(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
+    m = run_strided(scene_2_spheres(), t_default_cam(), spp=1, max_depth=1)
+    np.testing.assert_allclose(a, m, atol=1e-6)
+
+
+def test_strided_k_invariance():
+    # Different k values cover the same (pixel, sample) set.
+    scene = scene_2_spheres()
+    m1 = run_strided(scene, t_default_cam(), spp=8, k=2)
+    m2 = run_strided(scene, t_default_cam(), spp=8, k=8)
+    assert abs(m1.mean() - m2.mean()) / 8 < 0.01
