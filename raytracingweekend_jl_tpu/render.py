@@ -86,13 +86,19 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     exactly the classic one-sample-per-pass scheme.
     """
     if persistent:
-        # Persistent wavefront: lanes pinned to pixels, dead rays replaced by
-        # the same pixel's next sample in place (see ops/integrator.py). On
-        # TPU the post-sweep body runs as the fused Pallas shade+regen kernel
-        # (one state read + one write per bounce — 11.5 vs 7.0 Mpaths/s on the
-        # flagship); CPU uses the XLA body (the fused kernel's hardware PRNG
-        # has no CPU lowering).
+        # Persistent wavefront: lanes serve pixels and start the next sample
+        # in place when a ray dies (see ops/integrator.py). On TPU, full-image
+        # tiles use the STRIDED variant (k=32 pixels per lane, load-balanced —
+        # 51 Mpaths/s flagship vs 12 for pixel-pinned lanes); partial tiles
+        # (sharded/chunked) use the pixel-pinned fused kernel; CPU uses the
+        # XLA body (the Pallas kernels' hardware PRNG has no CPU lowering).
         if jax.default_backend() != "cpu":
+            n_pix = u.shape[0]
+            if n_pix == int(f32_w) * int(f32_h):
+                from .ops.integrator import persistent_render_sum_strided
+                return persistent_render_sum_strided(
+                    scene, cam, u, v, key, n_samples, sample_offset,
+                    max_depth, tmin, f32_w, f32_h, k=32)
             from .ops.integrator import persistent_render_sum_fused
             return persistent_render_sum_fused(scene, cam, u, v, key, n_samples,
                                                sample_offset, max_depth, tmin,
