@@ -56,7 +56,7 @@ def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [N] scalar-prefetch SMEM
     init_t = jnp.full(ox.shape, big, jnp.float32)
     init_i = jnp.zeros(ox.shape, jnp.int32)
 
-    unroll = 4 if n_spheres % 4 == 0 else (2 if n_spheres % 2 == 0 else 1)
+    unroll = 8 if n_spheres % 8 == 0 else (2 if n_spheres % 2 == 0 else 1)
 
     def one(s, best_t, best_i):
         cxs = cx_ref[s]

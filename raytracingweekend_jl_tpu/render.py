@@ -88,8 +88,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     if persistent:
         # Persistent wavefront: lanes serve pixels and start the next sample
         # in place when a ray dies (see ops/integrator.py). On TPU, full-image
-        # tiles use the STRIDED variant (k=32 pixels per lane, load-balanced —
-        # 51 Mpaths/s flagship vs 12 for pixel-pinned lanes); partial tiles
+        # tiles use the STRIDED variant (k=64 pixels per lane, load-balanced —
+        # 54 Mpaths/s flagship vs 12 for pixel-pinned lanes); partial tiles
         # (sharded/chunked) use the pixel-pinned fused kernel; CPU uses the
         # XLA body (the Pallas kernels' hardware PRNG has no CPU lowering).
         if jax.default_backend() != "cpu":
@@ -98,7 +98,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 from .ops.integrator import persistent_render_sum_strided
                 return persistent_render_sum_strided(
                     scene, cam, u, v, key, n_samples, sample_offset,
-                    max_depth, tmin, f32_w, f32_h, k=32)
+                    max_depth, tmin, f32_w, f32_h, k=64)
             from .ops.integrator import persistent_render_sum_fused
             return persistent_render_sum_fused(scene, cam, u, v, key, n_samples,
                                                sample_offset, max_depth, tmin,
