@@ -150,3 +150,12 @@ def test_strided_k_invariance():
     m1 = run_strided(scene, t_default_cam(), spp=8, k=2)
     m2 = run_strided(scene, t_default_cam(), spp=8, k=8)
     assert abs(m1.mean() - m2.mean()) / 8 < 0.01
+
+
+def test_strided_k_exceeds_pixels_per_lane_budget():
+    # Tiny image with large k (more strips than makes sense): padding pixels
+    # and early-inactive lanes must stay benign.
+    m = run_strided(scene_2_spheres(), t_default_cam(), W=48, H=27, spp=4, k=64)
+    a, _ = run_both(scene_2_spheres(), t_default_cam(), W=48, H=27, spp=4)
+    assert np.isfinite(m).all()
+    assert abs(a.mean() - m.mean()) / 4 < 0.01
