@@ -21,7 +21,7 @@ from .ops.integrator import (trace, trace_compacted, persistent_render_sum,
 from .ops.intersect import intersect_spheres, HitResult, DEFAULT_TMIN
 from .ops.materials import scatter, ScatterResult
 from .ops.vecmath import (dot, squared_length, near_zero, normalize, reflect,
-                          refract, reflectance, gamma2_encode)
+                          refract, reflectance, gamma2_encode, color_vec3_in_rgb)
 from .ops.sampling import unit_sphere_directions, unit_disk_points, uniform_between
 from .models.scenes import (scene_2_spheres, scene_4_spheres, scene_diel_spheres,
                             scene_diel_spheres_hollow, scene_blue_red_spheres,

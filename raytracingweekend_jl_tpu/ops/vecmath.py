@@ -85,3 +85,10 @@ def reflectance(cos_theta: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarray:
 def gamma2_encode(linear: jnp.ndarray) -> jnp.ndarray:
     """Gamma-2 encode = sqrt (reference: rgb_gamma2, src/vec.jl:22)."""
     return jnp.sqrt(jnp.maximum(linear, 0.0))
+
+
+def color_vec3_in_rgb(v: jnp.ndarray) -> jnp.ndarray:
+    """Debug visualisation of a vector field as RGB: ``0.5*normalize(v)+0.5``
+    (reference: color_vec3_in_rgb, src/ray_color.jl:8 — used to render
+    normals / hit points as colors while debugging integrators)."""
+    return 0.5 * normalize(v) + 0.5

@@ -80,3 +80,10 @@ def test_dot_batched():
     a = jnp.arange(6, dtype=jnp.float32).reshape(2, 3)
     b = jnp.ones((2, 3), jnp.float32)
     np.testing.assert_allclose(np.asarray(dot(a, b)), [3.0, 12.0])
+
+
+def test_color_vec3_in_rgb():
+    # reference: src/ray_color.jl:8 — unit +y maps to (0.5, 1.0, 0.5).
+    from raytracingweekend_jl_tpu import color_vec3_in_rgb
+    out = np.asarray(color_vec3_in_rgb(v(0.0, 2.0, 0.0)))
+    np.testing.assert_allclose(out, [0.5, 1.0, 0.5], atol=1e-6)
