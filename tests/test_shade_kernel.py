@@ -159,3 +159,26 @@ def test_strided_k_exceeds_pixels_per_lane_budget():
     a, _ = run_both(scene_2_spheres(), t_default_cam(), W=48, H=27, spp=4)
     assert np.isfinite(m).all()
     assert abs(a.mean() - m.mean()) / 4 < 0.01
+
+
+def test_strided_sample_offset_chunking():
+    # Two chunks (offsets 0 and 4) must cover the same sample set as one
+    # 8-sample run: radiance SUMS add and agree statistically (RNG streams for
+    # regenerated rays are iteration-keyed, so not bitwise).
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    args = (scene, cam, u, v, KEY)
+    kw = dict(max_depth=16, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), k=4, interpret=True)
+    a = np.asarray(persistent_render_sum_strided(*args, 4, 0, **kw))
+    b = np.asarray(persistent_render_sum_strided(*args, 4, 4, **kw))
+    full = np.asarray(persistent_render_sum_strided(*args, 8, 0, **kw))
+    chunked = a + b
+    assert np.isfinite(chunked).all()
+    assert abs(chunked.mean() - full.mean()) / 8 < 0.01
+    # The centered sample exists only in the offset-0 chunk: chunk b must be
+    # fully jittered (strictly different from a at matched counts).
+    assert not np.allclose(a, b)
