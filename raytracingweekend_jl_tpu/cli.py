@@ -30,8 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--scene-seed", type=int, default=d.scene_seed)
     p.add_argument("--precision", default=d.precision, choices=("f32", "f64"))
-    p.add_argument("--no-compact", action="store_true",
-                   help="disable active-ray compaction")
+    p.add_argument("--compact", action="store_true", default=d.compact,
+                   help="enable the forward-only compacted integrator when the "
+                        "persistent one is disabled (default matches "
+                        "RenderConfig.compact)")
     p.add_argument("--no-persistent", action="store_true",
                    help="disable the persistent-wavefront integrator")
     p.add_argument("--rays-per-pass", type=int, default=d.rays_per_pass)
@@ -52,7 +54,7 @@ def config_from_args(args) -> RenderConfig:
         scene=args.scene, camera=args.camera, image_width=args.width,
         image_height=args.height, n_samples=args.spp, max_depth=args.depth,
         seed=args.seed, scene_seed=args.scene_seed, precision=args.precision,
-        compact=not args.no_compact, persistent=not args.no_persistent,
+        compact=args.compact, persistent=not args.no_persistent,
         rays_per_pass=args.rays_per_pass,
         mesh_tiles=args.mesh_tiles, mesh_samples=args.mesh_samples,
         tile_size=args.tile_size, spp_chunk=args.spp_chunk,

@@ -72,6 +72,21 @@ def _pick_intersector(use_pallas, fused_attrs: bool = False):
 #: hollow glass (README.md:208-210).
 DEFAULT_MAX_DEPTH = 16
 
+
+def _persistent_base_seed(key: jax.Array, sample_offset) -> jnp.ndarray:
+    """Seed for the in-kernel hardware PRNG of the persistent Pallas paths.
+
+    ``sample_offset`` (the chunk's first global sample id) is folded into the
+    key so spp-chunked rendering (utils/checkpoint.render_checkpointed) and
+    sample-axis sharding draw *decorrelated* streams per chunk — with a plain
+    key-sum seed every chunk would restart the identical per-(block, lane,
+    iteration) uniform stream and correlate its samples.
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        folded = jax.random.fold_in(key, jnp.asarray(sample_offset, jnp.int32))
+        return jnp.sum(jax.random.key_data(folded).astype(jnp.int32))
+    return jnp.asarray(sample_offset, jnp.int32)
+
 _WHITE = (1.0, 1.0, 1.0)
 _SKYBLUE = (0.5, 0.7, 1.0)
 
@@ -431,8 +446,7 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
              jnp.zeros((R,), jnp.int32), sample_ids, jnp.ones((R,), jnp.int32))
 
     last_sample = sample_offset + n_samples - 1
-    base_seed = jnp.sum(jax.random.key_data(key).astype(jnp.int32)) \
-        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else jnp.int32(0)
+    base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):
         state, it = st
@@ -447,7 +461,9 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
         rng_u9 = None
         if interpret:
             # The hardware PRNG has no CPU lowering; feed threefry uniforms.
-            rng_u9 = jax.random.uniform(jax.random.fold_in(key, it), (9, R))
+            rng_u9 = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
+                (9, R))
         state = shade_and_regen(state, res.t, attrs10, u, v, cam_consts,
                                 base_seed + it, last_sample, max_depth, tmin,
                                 interpret=interpret, rng_u9=rng_u9)
@@ -510,8 +526,7 @@ def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
     fv_p = to_planes(v, rows)
 
     last_sample = sample_offset + n_samples - 1
-    base_seed = jnp.sum(jax.random.key_data(key).astype(jnp.int32)) \
-        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else jnp.int32(0)
+    base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):
         state, it = st
@@ -521,8 +536,9 @@ def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
         state, it = st
         rng_u9 = None
         if interpret:
-            rng_u9 = jax.random.uniform(jax.random.fold_in(key, it),
-                                        (9, rows, 128))
+            rng_u9 = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
+                (9, rows, 128))
         state = mega_step(state, scene, cam_consts, fu_p, fv_p,
                           base_seed + it, last_sample, max_depth, tmin,
                           interpret=interpret, rng_u9_planes=rng_u9)
@@ -610,8 +626,7 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
 
     intersect = _pick_intersector(None if not interpret else False)
     last_sample = sample_offset + n_samples - 1
-    base_seed = jnp.sum(jax.random.key_data(key).astype(jnp.int32)) \
-        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else jnp.int32(0)
+    base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):
         state, it = st
@@ -625,8 +640,9 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
         attrs10 = _onehot_rows_exact(res.index, attr_mat, scene.n_spheres)
         rng_u9 = None
         if interpret:
-            rng_u9 = jax.random.uniform(jax.random.fold_in(key, it),
-                                        (9, rows, LANES))
+            rng_u9 = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
+                (9, rows, LANES))
         state = shade_strided_step(state, res.t, attrs10, cam_consts, geom,
                                    base_seed + it, last_sample, sample_offset,
                                    max_depth, k, interpret=interpret,

@@ -7,10 +7,13 @@ partial radiance sums are combined with a single ``psum`` over ``samples``
 (SURVEY.md §2.4: the comm module the reference never needed).
 
 Determinism contract: tiles are fixed-size blocks of ``tile_size`` pixels and
-each tile's RNG key is folded with its *global* tile id — so the rendered image
-is bit-identical for any device count or mesh shape that keeps ``tile_size``
-fixed (unlike the reference, whose images are only reproducible for a fixed
-thread count, SURVEY.md §2.5).
+each tile's RNG key is folded with its *global* tile id — so resharding the
+``tiles`` axis is bit-identical for a fixed ``tile_size`` (unlike the
+reference, whose images are only reproducible for a fixed thread count,
+SURVEY.md §2.5). Resharding the ``samples`` axis changes the float summation
+order (per-shard partial sums then a psum), so across sample-shard counts the
+image is equal only up to float accumulation order (~1e-5, see
+tests/test_parallel.py).
 
 The whole driver is differentiable: ``shard_map`` has transpose rules, so
 ``jax.grad`` of a loss of the sharded image produces gradients for the

@@ -53,7 +53,8 @@ def _native_write(fn_name: str, img, path: str, gamma2: bool) -> bool:
 
 
 def to_uint8(img) -> np.ndarray:
-    """[H,W,3] float [0,1] -> uint8 with round-half-away like image viewers."""
+    """[H,W,3] float [0,1] -> uint8, rounding ties-to-even (np.rint; the
+    native writer's nearbyintf matches bit-for-bit)."""
     arr = np.asarray(img, dtype=np.float64)
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
 

@@ -182,3 +182,29 @@ def test_strided_sample_offset_chunking():
     # The centered sample exists only in the offset-0 chunk: chunk b must be
     # fully jittered (strictly different from a at matched counts).
     assert not np.allclose(a, b)
+
+
+def test_fused_chunk_seed_decorrelation():
+    # Regenerated-sample RNG must be chunk-keyed: two 2-spp chunks with the
+    # same key and different sample_offsets (the render_checkpointed /
+    # sample-sharding pattern) may not replay identical regen streams
+    # (round-1 advisor finding: base_seed ignored sample_offset, correlating
+    # every chunk's samples). Isolate each chunk's regenerated sample by
+    # subtracting its 1-spp render; on a sky-only scene the regen jitter fully
+    # determines that contribution, so equal streams ⇒ equal differences.
+    scene = make_scene([])
+    cam = t_default_cam()
+    W, H = 32, 18
+    u, v = pixel_coords(W, H)
+
+    def f(spp, off):
+        return np.asarray(persistent_render_sum_fused(
+            scene, cam, u, v, KEY, spp, off, 16, 1e-4,
+            float(np.float32(W)), float(np.float32(H)), interpret=True))
+
+    regen_a = f(2, 0) - f(1, 0)   # contribution of global sample 1
+    regen_b = f(2, 2) - f(1, 2)   # contribution of global sample 3
+    assert np.isfinite(regen_a).all() and np.isfinite(regen_b).all()
+    # Distinct jitter draws move the sky lerp by far more than the float
+    # cancellation noise of the subtraction (~1e-7).
+    assert np.abs(regen_a - regen_b).max() > 1e-4

@@ -98,7 +98,7 @@ def test_cli_end_to_end(tmp_path):
     out = str(tmp_path / "out.png")
     args = build_parser().parse_args(
         ["--scene", "2_spheres", "--camera", "default", "--width", "48",
-         "--spp", "2", "--no-compact", "-o", out])
+         "--spp", "2", "-o", out])
     os.chdir(tmp_path)  # bench_history.jsonl lands here
     rec = run(config_from_args(args))
     assert os.path.exists(out)
@@ -163,7 +163,7 @@ def test_cli_stats_flag(capsys, tmp_path):
     from raytracingweekend_jl_tpu.cli import main
     os.chdir(tmp_path)
     main(["--scene", "2_spheres", "--camera", "default", "--width", "48",
-          "--spp", "1", "--no-compact", "--no-persistent", "--stats",
+          "--spp", "1", "--no-persistent", "--stats",
           "-o", str(tmp_path / "s.png")])
     out = capsys.readouterr().out
     assert "bounce_occupancy" in out and "mean_path_length" in out
