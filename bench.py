@@ -33,6 +33,8 @@ CHILD_TIMEOUT_S = 1500
 
 def child(spp_chunk: int, n_chunks: int) -> None:
     import jax
+    from raytracingweekend_jl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()  # second run warms in seconds, not minutes
     import raytracingweekend_jl_tpu as rtw
     from raytracingweekend_jl_tpu.render import render_tile_sum, pixel_coords
 

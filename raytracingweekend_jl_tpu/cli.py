@@ -88,6 +88,8 @@ def print_occupancy(cfg: RenderConfig) -> None:
 
 def run(cfg: RenderConfig) -> dict:
     import numpy as np
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from .ops.vecmath import gamma2_encode
     from .render import render_radiance, image_height_for
     from .utils.image import write_png, write_ppm
@@ -98,15 +100,19 @@ def run(cfg: RenderConfig) -> dict:
     H = cfg.image_height or image_height_for(cfg.image_width)
 
     t0 = time.time()
+    phases = None
     if cfg.spp_chunk > 0:
         from .utils.checkpoint import render_checkpointed
+        from .utils.metrics import PhaseTimer
+        timer = PhaseTimer()
         state = render_checkpointed(
             scene, cam, cfg.image_width, cfg.n_samples, image_height=cfg.image_height,
             seed=cfg.seed, spp_chunk=cfg.spp_chunk,
             checkpoint_path=cfg.checkpoint_path, max_depth=cfg.max_depth,
             tmin=cfg.tmin, compact=cfg.compact, persistent=cfg.persistent,
-            rays_per_pass=cfg.rays_per_pass, progress=True)
+            rays_per_pass=cfg.rays_per_pass, progress=True, timer=timer)
         linear = state.image
+        phases = timer.as_dict()
     elif cfg.mesh_tiles * cfg.mesh_samples > 1:
         import jax
         from .parallel.mesh import make_render_mesh
@@ -133,9 +139,12 @@ def run(cfg: RenderConfig) -> dict:
     else:
         write_png(img, cfg.output)
 
+    extra = {"config": cfg.to_dict()}
+    if phases:
+        extra["phases"] = phases
     rec = throughput_record(
         f"{cfg.scene}_{cfg.image_width}x{H}x{cfg.n_samples}", wall,
-        cfg.image_width * H * cfg.n_samples, extra={"config": cfg.to_dict()})
+        cfg.image_width * H * cfg.n_samples, extra=extra)
     append_history(rec)
     print(json.dumps(rec))
     return rec

@@ -110,6 +110,56 @@ def scene_random_spheres(seed: int = 1, dtype=jnp.float32) -> Scene:
     return make_scene(spheres, dtype=dtype)
 
 
+def scene_random_spheres_reference(dtype=jnp.float32, warmup: int = 2,
+                                   low52: bool = True) -> Scene:
+    """THE reference scene instance — bit-exact replay of
+    ``scene_random_spheres`` as the reference builds it after ``reseed!``
+    (reference: src/scenes.jl:49-84 with trand = fresh Xoroshiro128Plus(1),
+    src/proto/proto.jl:198-199, src/init.jl:8-10).
+
+    Draw order per grid cell (src/scenes.jl:57-70, Julia evaluates arguments
+    left-to-right): choose_mat, center.x jitter, center.z jitter — consumed
+    even for cells skipped by the 0.9-exclusion around (4, 0.2, 0) — then
+    6 draws for a diffuse albedo (rand*rand componentwise, first vector fully
+    drawn before the second), or 3 + 1 for metal albedo∈[0.5,1] and
+    fuzz∈[0,5], or none for glass. Grid loops run a outer, b inner over
+    -11:10. The geometry is computed in float64 exactly as Julia does before
+    the final cast to ``dtype``.
+
+    ``warmup``/``low52`` expose the two RandomNumbers.jl implementation
+    details the fixture test pins (see utils/xoroshiro.py).
+    """
+    from ..utils.xoroshiro import Xoroshiro128Plus
+
+    rng = Xoroshiro128Plus(1, warmup=warmup, low52=low52)
+    spheres = [lambertian((0, -1000, -1), 1000.0, (0.5, 0.5, 0.5))]
+
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose_mat = rng.rand()
+            cx = a + 0.9 * rng.rand()
+            cz = b + 0.9 * rng.rand()
+            center = np.array([cx, 0.2, cz])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) < 0.9:
+                continue
+            if choose_mat < 0.8:
+                r1 = [rng.rand() for _ in range(3)]
+                r2 = [rng.rand() for _ in range(3)]
+                albedo = np.array(r1) * np.array(r2)
+                spheres.append(lambertian(center, 0.2, albedo))
+            elif choose_mat < 0.95:
+                albedo = np.array([rng.rand_between(0.5, 1.0) for _ in range(3)])
+                fuzz = rng.rand_between(0.0, 5.0)
+                spheres.append(metal(center, 0.2, albedo, fuzz))
+            else:
+                spheres.append(dielectric(center, 0.2, 1.5))
+
+    spheres.append(dielectric((0, 1, 0), 1.0, 1.5))
+    spheres.append(lambertian((-4, 1, 0), 1.0, (0.4, 0.2, 0.1)))
+    spheres.append(metal((4, 1, 0), 1.0, (0.7, 0.6, 0.5), 0.0))
+    return make_scene(spheres, dtype=dtype)
+
+
 def save_scene(scene: Scene, path: str) -> None:
     """Serialize a scene to ``.npz`` — the parity-fixture mechanism
     (SURVEY.md §3.3: serialized scenes beat replaying thread-scheduled RNG)."""

@@ -558,12 +558,24 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
                                   tmin: float = DEFAULT_TMIN,
                                   f32_w: float = 0.0, f32_h: float = 0.0,
                                   k: int = 8,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  pixel_start=0) -> jnp.ndarray:
     """Load-balanced persistent renderer: each lane serves ``k`` pixels spaced
     ``R_lanes`` apart (different image rows), switching pixels in place when
     one finishes its samples — the straggler fix for pixel-pinned lanes (see
-    _shade_strided_kernel). Requires ``u``/``v`` to be the FULL image's film
-    coordinates in row-major order (pixel ids are arithmetic).
+    _shade_strided_kernel).
+
+    Renders the contiguous row-major pixel range ``[pixel_start,
+    pixel_start + len(u))`` of a ``W x H`` image — ``pixel_start=0`` with the
+    full pixel count is the single-chip flagship path; nonzero offsets are the
+    shard/chunk tiles (film coordinates are recomputed from pixel ids, so
+    ``u``/``v`` only fix the tile size and dtype). Lanes whose range extends
+    past ``W*H`` (driver padding) start inactive and contribute zeros. RNG for
+    strip-0 initial samples is threefry keyed by *global* pixel id; in-kernel
+    draws (scatter, strip>=1 starts, regenerated samples) are positional, so
+    across different tilings images agree exactly on RNG-free paths at k=1
+    and statistically otherwise (tests/test_shade_kernel.py pixel_start
+    suite).
     """
     from .pallas.shade_kernel import (shade_strided_step, pack_camera_consts,
                                       SHADE_ROWS)
@@ -576,29 +588,33 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     dtype = u.dtype
     W, H = int(f32_w), int(f32_h)
     n_pix = u.shape[0]
-    assert n_pix == W * H, "strided renderer needs the full image"
     r_lanes = -(-n_pix // k)
     rows = -(-(-(-r_lanes // LANES)) // SHADE_ROWS) * SHADE_ROWS
     lanes_padded = rows * LANES
 
+    pixel_start = jnp.asarray(pixel_start, jnp.int32)
+    p_end = jnp.minimum(pixel_start + n_pix, W * H)
     cam_consts = pack_camera_consts(cam, W, H)
-    geom = jnp.asarray([W, H, r_lanes % W, r_lanes // W], jnp.int32)
+    geom = jnp.stack([jnp.int32(W), jnp.int32(H), jnp.int32(r_lanes % W),
+                      jnp.int32(r_lanes // W), p_end])
 
     def pad_plane(x):
         return jnp.pad(x, (0, lanes_padded - r_lanes)).reshape(rows, LANES)
 
-    lane_ids = np.arange(r_lanes, dtype=np.int32)
-    px0 = jnp.asarray(lane_ids % W)
-    py0 = jnp.asarray(lane_ids // W)
+    pid0 = pixel_start + jnp.arange(r_lanes, dtype=jnp.int32)
+    px0 = pid0 % W
+    py0 = pid0 // W
+    active0 = (pid0 < p_end).astype(jnp.int32)
 
-    # Initial rays (strip 0) via the threefry path, keyed by (pixel, sample).
+    # Initial rays (strip 0) via the threefry path, keyed by (global pixel,
+    # sample) — tile-invariant streams.
     from ..camera import make_rays
     from .sampling import concentric_disk_map, per_ray_uniforms
     from .. import rng as rngmod
     key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
     sample_ids = jnp.full((r_lanes,), sample_offset, jnp.int32)
     keys0 = jax.vmap(jax.random.fold_in)(
-        jax.vmap(jax.random.fold_in, (None, 0))(key_cam, jnp.asarray(lane_ids)),
+        jax.vmap(jax.random.fold_in, (None, 0))(key_cam, pid0),
         sample_ids)
     u4 = per_ray_uniforms(keys0, 4, dtype=dtype)
     jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
@@ -614,7 +630,7 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     state_flat = ([org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
                    ones, ones, ones, zer, zer, zer,
                    izer, sample_ids, izer, px0, py0,
-                   jnp.ones((r_lanes,), jnp.int32)]
+                   active0]
                   + [zer] * (3 * k))
     state = tuple(pad_plane(x) for x in state_flat)
 

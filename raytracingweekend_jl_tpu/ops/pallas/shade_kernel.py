@@ -447,6 +447,7 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
     Hm1 = geom_ref[1] - 1
     dpx = geom_ref[2]
     dpy = geom_ref[3]
+    p_end = geom_ref[4]  # one past the last pixel id this tile may render
     npx = pxi + dpx
     carry = (npx >= W).astype(jnp.int32)
     npx = npx - W * carry
@@ -456,7 +457,9 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
     pyi = jnp.where(done_pix, npy, pyi)
     strip = jnp.where(done_pix, new_strip, strip)
     sa = jnp.where(done_pix, first_sample, jnp.where(same_pix, nxt, sa))
-    valid_new = npy <= Hm1
+    # Valid next pixel: inside this tile's contiguous row-major range (for the
+    # full image p_end = W*H, reducing to the old npy <= H-1 check).
+    valid_new = (npy * W + npx) < p_end
     start = same_pix | (done_pix & (new_strip < k) & valid_new)
 
     # camera ray for starting lanes (film coords from integer pixel coords)

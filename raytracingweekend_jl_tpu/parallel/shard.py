@@ -93,10 +93,13 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
             # Global tile id ⇒ device-count-invariant RNG streams.
             global_tile = tile_shard * tiles_per_shard + i
             tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, global_tile)
+            # Tiles are contiguous row-major pixel ranges, so the persistent
+            # TPU path can run the load-balanced strided integrator per shard.
             tile_sum = render_tile_sum(scene, cam, u_tiles[i], v_tiles[i],
                                        tile_key, local_spp, sample_offset,
                                        max_depth, tmin, remat, f32_w, f32_h,
-                                       compact, samples_per_pass, persistent)
+                                       compact, samples_per_pass, persistent,
+                                       pixel_start=global_tile * tile_size)
             return jax.lax.dynamic_update_slice(acc, tile_sum[None], (i, 0, 0))
 
         acc = jax.lax.fori_loop(

@@ -19,6 +19,7 @@ and pixel chunking bounds live ray-state HBM. The reference's
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -67,11 +68,22 @@ def pick_samples_per_pass(n_pix: int, n_samples: int,
     return best
 
 
+#: Lane-count floor for the strided persistent path: below this many lanes the
+#: wavefront cannot hide sweep latency, so k shrinks for small tiles.
+STRIDED_MIN_LANES = 32768
+
+
+def strided_k_for(n_pix: int, k_full: int = 64) -> int:
+    """Pixels-per-lane for a tile: full k when the tile still yields
+    >= STRIDED_MIN_LANES lanes, else as many lanes as possible (k -> 1)."""
+    return max(1, min(k_full, n_pix // STRIDED_MIN_LANES))
+
+
 def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
                     tmin: float, remat: bool, f32_w: float, f32_h: float,
                     compact: bool = False, samples_per_pass: int = 1,
-                    persistent: bool = False) -> jnp.ndarray:
+                    persistent: bool = False, pixel_start=None) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -80,6 +92,13 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     (reference: src/render.jl:30-32), so sample-axis sharding preserves the
     reference's sampling pattern. ``key`` must already be tile-specific.
 
+    ``pixel_start``: the tile's first global pixel id when the tile is a
+    contiguous row-major pixel range — lets the persistent TPU path run the
+    load-balanced STRIDED integrator on shard/chunk tiles (it recomputes film
+    coordinates from pixel ids). ``None`` means "not a known-contiguous
+    range": the persistent path then falls back to the pixel-pinned fused
+    kernel driven by ``u``/``v`` directly.
+
     ``samples_per_pass`` merges that many samples of every pixel into ONE
     wavefront (pixels x samples along the ray axis) so each trace call carries
     millions of rays; with ``samples_per_pass == 1`` the RNG stream layout is
@@ -87,18 +106,28 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
     """
     if persistent:
         # Persistent wavefront: lanes serve pixels and start the next sample
-        # in place when a ray dies (see ops/integrator.py). On TPU, full-image
-        # tiles use the STRIDED variant (k=64 pixels per lane, load-balanced —
-        # 54 Mpaths/s flagship vs 12 for pixel-pinned lanes); partial tiles
-        # (sharded/chunked) use the pixel-pinned fused kernel; CPU uses the
-        # XLA body (the Pallas kernels' hardware PRNG has no CPU lowering).
-        if jax.default_backend() != "cpu":
+        # in place when a ray dies (see ops/integrator.py). On TPU, any
+        # contiguous pixel range — the full image, a shard tile, a chunk —
+        # uses the STRIDED variant (k pixels per lane, load-balanced — 54
+        # Mpaths/s flagship vs 12 for pixel-pinned lanes); non-contiguous
+        # tiles use the pixel-pinned fused kernel; CPU uses the XLA body (the
+        # Pallas kernels' hardware PRNG has no CPU lowering).
+        on_tpu = jax.default_backend() != "cpu"
+        # RTW_FORCE_STRIDED_INTERPRET routes CPU through the strided Pallas
+        # kernel in interpret mode — lets tests drive the exact production
+        # dispatch (shard_map -> strided tiles) without a TPU.
+        force = bool(os.environ.get("RTW_FORCE_STRIDED_INTERPRET"))
+        if on_tpu or force:
             n_pix = u.shape[0]
-            if n_pix == int(f32_w) * int(f32_h):
+            full_image = n_pix == int(f32_w) * int(f32_h)
+            if full_image or pixel_start is not None:
                 from .ops.integrator import persistent_render_sum_strided
                 return persistent_render_sum_strided(
                     scene, cam, u, v, key, n_samples, sample_offset,
-                    max_depth, tmin, f32_w, f32_h, k=64)
+                    max_depth, tmin, f32_w, f32_h,
+                    k=64 if full_image else strided_k_for(n_pix),
+                    pixel_start=0 if pixel_start is None else pixel_start,
+                    interpret=not on_tpu)
             from .ops.integrator import persistent_render_sum_fused
             return persistent_render_sum_fused(scene, cam, u, v, key, n_samples,
                                                sample_offset, max_depth, tmin,
@@ -150,11 +179,11 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
                   compact: bool = False, samples_per_pass: int = 1,
-                  persistent: bool = False) -> jnp.ndarray:
+                  persistent: bool = False, pixel_start=None) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
-                          persistent)
+                          persistent, pixel_start)
     return acc / n_samples
 
 
@@ -201,7 +230,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
                 n_samples, max_depth, tmin, remat,
                 float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
-                persistent))
+                persistent, pixel_start=jnp.int32(c * pixel_chunk)))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

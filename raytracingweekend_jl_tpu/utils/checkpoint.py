@@ -26,6 +26,7 @@ from ..camera import Camera
 from ..render import (render_tile_sum, pixel_coords, image_height_for,
                       pick_samples_per_pass)
 from ..scene import Scene
+from .metrics import PhaseTimer
 
 
 @dataclass
@@ -73,7 +74,8 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                         max_depth: int = 16, tmin: float = 1e-4,
                         compact: bool = False, persistent: bool = True,
                         rays_per_pass: int = 1 << 21,
-                        progress: bool = False, max_retries: int = 2) -> RenderState:
+                        progress: bool = False, max_retries: int = 2,
+                        timer: PhaseTimer | None = None) -> RenderState:
     """Render ``n_samples`` in chunks of ``spp_chunk``, checkpointing after each.
 
     If ``checkpoint_path`` exists, resumes from it. Sample-exact: chunk c
@@ -84,6 +86,10 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
     render): each chunk is retried up to ``max_retries`` times on transient
     device/runtime errors; committed chunks are already durable on disk, so
     the blast radius of any failure is one chunk.
+
+    ``timer`` (per-phase observability, SURVEY.md §5): when given, trace
+    dispatch, the device->host radiance fetch, and checkpoint writes are
+    accumulated per phase, and each progress line carries the running totals.
     """
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
@@ -104,20 +110,28 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                                         "f32_w", "f32_h", "compact",
                                         "samples_per_pass", "persistent"))
 
+    if timer is None:
+        timer = PhaseTimer()
     while state.samples_done < n_samples:
         todo = min(spp_chunk, n_samples - state.samples_done)
         spp_pass = pick_samples_per_pass(W * H, todo, rays_per_pass)
         t0 = time.time()
         for attempt in range(max_retries + 1):
             try:
+                timer.start("trace")
                 acc = tile_sum(scene, cam, u, v, key, n_samples=todo,
                                sample_offset=state.samples_done,
                                max_depth=max_depth, tmin=tmin, remat=False,
                                f32_w=f32_w, f32_h=f32_h, compact=compact,
                                samples_per_pass=spp_pass, persistent=persistent)
+                timer.stop("trace")
+                timer.start("fetch")  # host fetch = the true device sync
                 acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
+                timer.stop("fetch")
                 break
             except Exception as e:  # noqa: BLE001 — device faults are opaque
+                for ph in ("trace", "fetch"):
+                    timer._t0.pop(ph, None)  # drop the failed attempt's timer
                 if attempt >= max_retries:
                     raise
                 if progress:
@@ -128,10 +142,13 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
         state.radiance_sum = state.radiance_sum + acc
         state.samples_done += todo
         if checkpoint_path:
+            timer.start("checkpoint")
             save_state(state, checkpoint_path)
+            timer.stop("checkpoint")
         if progress:
             paths = W * H * todo
             print(json.dumps({"samples_done": state.samples_done,
                               "chunk_s": round(dt, 3),
-                              "paths_per_s": round(paths / dt, 1)}), flush=True)
+                              "paths_per_s": round(paths / dt, 1),
+                              "phases": timer.as_dict()}), flush=True)
     return state

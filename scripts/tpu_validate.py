@@ -21,6 +21,8 @@ import numpy as np
 
 def main() -> None:
     import jax
+    from raytracingweekend_jl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import raytracingweekend_jl_tpu as rtw
 
     golden_path = os.path.join(os.path.dirname(__file__), "..", "tests",

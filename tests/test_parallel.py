@@ -112,3 +112,23 @@ def test_sharded_persistent_render():
     ref = np.asarray(render_radiance(scene, cam, 64, 4, seed=2))
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 0.02
+
+
+def test_sharded_persistent_strided_dispatch(monkeypatch):
+    # The PRODUCTION multi-chip path: persistent tiles dispatch the STRIDED
+    # Pallas integrator (pixel_start per tile) inside shard_map. Forced into
+    # interpret mode so the exact TPU dispatch runs on the CPU mesh; compared
+    # statistically against the XLA persistent single-chip render.
+    monkeypatch.setenv("RTW_FORCE_STRIDED_INTERPRET", "1")
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    mesh = make_render_mesh(n_tiles=4, devices=jax.devices()[:4])
+    img = np.asarray(render_radiance_sharded(scene, cam, 48, 8, mesh=mesh,
+                                             tile_size=256, seed=2,
+                                             persistent=True))
+    ref = np.asarray(render_radiance(scene, cam, 48, 8, seed=2,
+                                     persistent=True))
+    assert img.shape == ref.shape == (27, 48, 3)
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 0.02
+    assert np.abs(img - ref).mean() < 0.06

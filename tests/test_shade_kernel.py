@@ -208,3 +208,77 @@ def test_fused_chunk_seed_decorrelation():
     # Distinct jitter draws move the sky lerp by far more than the float
     # cancellation noise of the subtraction (~1e-7).
     assert np.abs(regen_a - regen_b).max() > 1e-4
+
+
+def test_strided_pixel_start_tiles_match_full():
+    # A contiguous tile range must render the same pixels as the full image.
+    # At k=1 every pixel is a strip-0 pixel, whose camera draws come from the
+    # threefry path keyed by GLOBAL pixel id — so on an RNG-free material
+    # path (fuzz-0 metal: the in-kernel scatter draws cancel) two half-image
+    # tiles concatenated equal the full-image strided render exactly. (Scenes
+    # consuming scatter RNG are tile-invariant only statistically — the
+    # in-kernel PRNG is positional — covered by the multisample test below.)
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0),
+                        metal((2, 1, -2), 1.0, (0.9, 0.9, 0.9), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    kw = dict(max_depth=8, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), interpret=True)
+    full = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 1, 0, k=1, **kw))
+    n = W * H
+    half = n // 2
+    a = np.asarray(persistent_render_sum_strided(
+        scene, cam, u[:half], v[:half], KEY, 1, 0, k=1, pixel_start=0, **kw))
+    b = np.asarray(persistent_render_sum_strided(
+        scene, cam, u[half:], v[half:], KEY, 1, 0, k=1, pixel_start=half, **kw))
+    np.testing.assert_allclose(np.concatenate([a, b]), full, atol=1e-6)
+
+
+def test_strided_pixel_start_padding_inactive():
+    # A tile extending past W*H (driver padding) must zero the out-of-image
+    # pixels and not disturb the valid ones (RNG-free scene => exact).
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    n = W * H
+    start, tile = n - 40, 64  # 40 valid + 24 padding pixels
+    pad = tile - 40
+    kw = dict(max_depth=8, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), interpret=True)
+    full = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 1, 0, k=1, **kw))
+    t_res = np.asarray(persistent_render_sum_strided(
+        scene, cam, jnp.zeros((tile,)), jnp.zeros((tile,)), KEY, 1, 0, k=1,
+        pixel_start=start, **kw))
+    np.testing.assert_allclose(t_res[:40], full[start:], atol=1e-6)
+    assert np.all(t_res[40:] == 0.0)
+
+
+def test_strided_pixel_start_statistical_multisample():
+    # Multi-sample tiles (regen exercised, strips advancing inside a tile
+    # range): two tiles vs full image agree statistically.
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    spp = 16
+    kw = dict(max_depth=16, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), interpret=True)
+    full = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, spp, 0, k=4, **kw))
+    n = W * H
+    half = n // 2
+    a = np.asarray(persistent_render_sum_strided(
+        scene, cam, u[:half], v[:half], KEY, spp, 0, k=4, pixel_start=0, **kw))
+    b = np.asarray(persistent_render_sum_strided(
+        scene, cam, u[half:], v[half:], KEY, spp, 0, k=4, pixel_start=half, **kw))
+    tiled = np.concatenate([a, b])
+    assert np.isfinite(tiled).all()
+    assert abs(tiled.mean() - full.mean()) / spp < 0.01
+    assert np.abs(tiled - full).mean() / spp < 0.06

@@ -107,6 +107,21 @@ def test_cli_end_to_end(tmp_path):
     assert hist[-1]["label"].startswith("2_spheres_48x27")
 
 
+def test_cli_chunked_reports_phases(tmp_path):
+    # Per-phase observability (SURVEY.md §5): the chunked CLI path must report
+    # trace/fetch timings in its throughput record.
+    from raytracingweekend_jl_tpu.cli import build_parser, config_from_args, run
+    out = str(tmp_path / "out.png")
+    args = build_parser().parse_args(
+        ["--scene", "2_spheres", "--camera", "default", "--width", "48",
+         "--spp", "4", "--spp-chunk", "2", "-o", out])
+    os.chdir(tmp_path)
+    rec = run(config_from_args(args))
+    assert "phases" in rec
+    assert rec["phases"].get("trace", 0) > 0
+    assert "fetch" in rec["phases"]
+
+
 def test_metrics_helpers():
     rec = throughput_record("x", 2.0, 4_000_000)
     assert rec["mpaths_per_s"] == 2.0
