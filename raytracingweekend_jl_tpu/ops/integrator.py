@@ -101,11 +101,13 @@ def skycolor(direction: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "remat", "keyed",
-                                   "use_pallas"))
+                                   "use_pallas", "fused_attrs", "remat_policy"))
 def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
           key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
           tmin: float = DEFAULT_TMIN, remat: bool = False,
-          keyed: bool = False, use_pallas: bool | None = None) -> jnp.ndarray:
+          keyed: bool = False, use_pallas: bool | None = None,
+          fused_attrs: bool = False,
+          remat_policy: str | None = None) -> jnp.ndarray:
     """Trace ``R`` primary rays to radiance ``[R,3]``.
 
     Args:
@@ -116,11 +118,19 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
       remat: checkpoint the bounce body (use True under ``grad``).
       keyed: per-ray slot-keyed RNG (position-independent draws; bit-matches
         ``trace_compacted``; slightly more expensive than positional draws).
+      fused_attrs: use the v2 sweep kernel that fetches the winning sphere's
+        attributes in the sweep loop (and scatter-adds their cotangents in its
+        analytic VJP) instead of the post-sweep one-hot MXU fetch. Slightly
+        slower forward-only; a candidate win under ``grad`` where the one-hot
+        otherwise appears in forward, transpose, AND remat recompute.
+      remat_policy: checkpoint policy name when ``remat`` — ``"dots"`` saves
+        MXU outputs (the one-hot attr rows) so the backward sweep does not
+        recompute them; None rematerialises everything.
     """
     dtype = origin.dtype
     R = origin.shape[0]
     slots = jnp.arange(R, dtype=jnp.int32) if keyed else None
-    intersect = _pick_intersector(use_pallas)
+    intersect = _pick_intersector(use_pallas, fused_attrs=fused_attrs)
 
     def body(b, state):
         org, d, thr, rad, alive = state
@@ -147,7 +157,10 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         return org, d, thr, rad, alive
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy = None
+        if remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     init = (origin, direction,
             jnp.ones((R, 3), dtype),   # throughput

@@ -83,7 +83,9 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
                     tmin: float, remat: bool, f32_w: float, f32_h: float,
                     compact: bool = False, samples_per_pass: int = 1,
-                    persistent: bool = False, pixel_start=None) -> jnp.ndarray:
+                    persistent: bool = False, pixel_start=None,
+                    fused_attrs: bool = False,
+                    remat_policy: str | None = None) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -165,7 +167,9 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                                        max_depth=max_depth, tmin=tmin)
         else:
             radiance = trace(scene, origin, direction, trace_key,
-                             max_depth=max_depth, tmin=tmin, remat=remat)
+                             max_depth=max_depth, tmin=tmin, remat=remat,
+                             fused_attrs=fused_attrs,
+                             remat_policy=remat_policy)
         return accum + radiance.reshape(spp, n_pix, 3).sum(axis=0)
 
     return jax.lax.fori_loop(
@@ -174,16 +178,18 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
-                                   "persistent"))
+                                   "persistent", "fused_attrs", "remat_policy"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
                   compact: bool = False, samples_per_pass: int = 1,
-                  persistent: bool = False, pixel_start=None) -> jnp.ndarray:
+                  persistent: bool = False, pixel_start=None,
+                  fused_attrs: bool = False,
+                  remat_policy: str | None = None) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
-                          persistent, pixel_start)
+                          persistent, pixel_start, fused_attrs, remat_policy)
     return acc / n_samples
 
 
@@ -193,7 +199,9 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     seed: int | jax.Array = 0, dtype=None,
                     pixel_chunk: int | None = None, remat: bool = False,
                     compact: bool = False, persistent: bool = False,
-                    rays_per_pass: int | None = None) -> jnp.ndarray:
+                    rays_per_pass: int | None = None,
+                    fused_attrs: bool = False,
+                    remat_policy: str | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -214,7 +222,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
             pick_samples_per_pass(n_pix, n_samples, rays_per_pass)
         out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
-                            compact, spp_pass, persistent)
+                            compact, spp_pass, persistent,
+                            fused_attrs=fused_attrs, remat_policy=remat_policy)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -230,7 +239,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 scene, cam, u_p[sl], v_p[sl], jax.random.fold_in(key, c),
                 n_samples, max_depth, tmin, remat,
                 float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
-                persistent, pixel_start=jnp.int32(c * pixel_chunk)))
+                persistent, pixel_start=jnp.int32(c * pixel_chunk),
+                fused_attrs=fused_attrs, remat_policy=remat_policy))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

