@@ -54,8 +54,13 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
                 loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
                 **kwargs) -> jnp.ndarray:
     """Scalar image loss of a differentiable render against ``target`` [H,W,3]
-    (linear radiance, not gamma-encoded — compare in linear space)."""
-    img = render_radiance(scene, cam, image_width, n_samples, remat=True,
+    (linear radiance, not gamma-encoded — compare in linear space).
+
+    ``remat`` defaults to True (checkpointed bounce loop) but may be
+    overridden through ``kwargs`` — at moderate pixel chunks stashing the
+    bounce residuals instead can be faster (see scripts/grad_bench.py)."""
+    kwargs.setdefault("remat", True)
+    img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:
         return jnp.mean((img - target) ** 2)

@@ -101,13 +101,15 @@ def skycolor(direction: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "remat", "keyed",
-                                   "use_pallas", "fused_attrs", "remat_policy"))
+                                   "use_pallas", "fused_attrs", "remat_policy",
+                                   "tile_skip"))
 def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
           key: jax.Array, max_depth: int = DEFAULT_MAX_DEPTH,
           tmin: float = DEFAULT_TMIN, remat: bool = False,
           keyed: bool = False, use_pallas: bool | None = None,
           fused_attrs: bool = False,
-          remat_policy: str | None = None) -> jnp.ndarray:
+          remat_policy: str | None = None,
+          tile_skip: int = 0) -> jnp.ndarray:
     """Trace ``R`` primary rays to radiance ``[R,3]``.
 
     Args:
@@ -126,16 +128,26 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
       remat_policy: checkpoint policy name when ``remat`` — ``"dots"`` saves
         MXU outputs (the one-hot attr rows) so the backward sweep does not
         recompute them; None rematerialises everything.
+      tile_skip: when > 0, the wavefront is processed in tiles of this many
+        rays, each bounce guarded by a per-tile scalar ``lax.cond`` on an
+        any-alive reduction — fully-dead tiles (sky regions die at bounce 1;
+        ~45% of all sweeps on the flagship) cost nothing, in the forward, the
+        remat recompute, AND the transposed backward, because ``cond``
+        transposes to a cond. Unlike ``trace_compacted`` this stays
+        reverse-differentiable (fixed-trip ``fori_loop``, no sort, no
+        ``while_loop``). Tile RNG is folded with the tile index, so images
+        differ from ``tile_skip=0`` only in stream layout (statistical
+        equivalence; see tests).
     """
+    if tile_skip and keyed:
+        raise ValueError("tile_skip uses per-tile positional RNG; keyed=True "
+                         "is not supported together with it")
     dtype = origin.dtype
     R = origin.shape[0]
     slots = jnp.arange(R, dtype=jnp.int32) if keyed else None
     intersect = _pick_intersector(use_pallas, fused_attrs=fused_attrs)
 
-    def body(b, state):
-        org, d, thr, rad, alive = state
-        res, attrs = intersect(org, d, scene, tmin)
-
+    def bounce_math(org, d, thr, rad, alive, res, attrs, key_b, rk):
         # Miss: accumulate sky once, then the ray dies
         # (reference: src/ray_color.jl:35-37).
         miss_now = alive & ~res.hit
@@ -144,8 +156,6 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         # Hit: scatter. Clamp t for non-hitting rays to keep every lane finite
         # (NaN-under-where guard for reverse mode).
         t_safe = jnp.where(res.hit, res.t, jnp.asarray(1.0, dtype))
-        key_b = jax.random.fold_in(key, b)
-        rk = slot_keys(key_b, slots) if slots is not None else None
         s = scatter(scene, org, d, t_safe, res.index, key_b, ray_keys=rk,
                     attrs=attrs)
 
@@ -156,6 +166,56 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         alive = alive & res.hit
         return org, d, thr, rad, alive
 
+    if tile_skip:
+        n_tiles = -(-R // tile_skip)
+        Rp = n_tiles * tile_skip
+        pad = Rp - R
+
+        def body(b, state):
+            org, d, thr, rad, alive = state
+            key_b = jax.random.fold_in(key, b)
+            alive_t = alive.reshape(n_tiles, tile_skip)
+            tile_alive = jnp.any(alive_t, axis=1)
+            tkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+                key_b, jnp.arange(n_tiles, dtype=jnp.int32))
+
+            def tile_body(_, xs):
+                o_t, d_t, thr_t, rad_t, al_t, flag, tk = xs
+
+                def do(args):
+                    o_t, d_t, thr_t, rad_t, al_t = args
+                    res, attrs = intersect(o_t, d_t, scene, tmin)
+                    return bounce_math(o_t, d_t, thr_t, rad_t, al_t, res,
+                                       attrs, tk, None)
+
+                out = jax.lax.cond(flag, do, lambda a: a,
+                                   (o_t, d_t, thr_t, rad_t, al_t))
+                return None, out
+
+            shp3 = (n_tiles, tile_skip, 3)
+            _, (o2, d2, th2, ra2, al2) = jax.lax.scan(
+                tile_body, None,
+                (org.reshape(shp3), d.reshape(shp3), thr.reshape(shp3),
+                 rad.reshape(shp3), alive_t, tile_alive, tkeys))
+            return (o2.reshape(Rp, 3), d2.reshape(Rp, 3), th2.reshape(Rp, 3),
+                    ra2.reshape(Rp, 3), al2.reshape(Rp))
+
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)))
+        direction = direction.at[R:, 1].set(1.0) if pad else direction
+        init_alive = jnp.arange(Rp) < R
+        R_run = Rp
+    else:
+        def body(b, state):
+            org, d, thr, rad, alive = state
+            res, attrs = intersect(org, d, scene, tmin)
+            key_b = jax.random.fold_in(key, b)
+            rk = slot_keys(key_b, slots) if slots is not None else None
+            return bounce_math(org, d, thr, rad, alive, res, attrs, key_b, rk)
+
+        init_alive = jnp.ones((R,), dtype=bool)
+        R_run = R
+
     if remat:
         policy = None
         if remat_policy == "dots":
@@ -163,13 +223,13 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     init = (origin, direction,
-            jnp.ones((R, 3), dtype),   # throughput
-            jnp.zeros((R, 3), dtype),  # radiance
-            jnp.ones((R,), dtype=bool))
+            jnp.ones((R_run, 3), dtype),   # throughput
+            jnp.zeros((R_run, 3), dtype),  # radiance
+            init_alive)
     _, _, _, radiance, _ = jax.lax.fori_loop(0, max_depth, body, init)
     # Rays still alive after max_depth contribute black
     # (reference: src/ray_color.jl:15-17) — nothing to add.
-    return radiance
+    return radiance[:R]
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "tile", "compact_every",

@@ -85,7 +85,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     compact: bool = False, samples_per_pass: int = 1,
                     persistent: bool = False, pixel_start=None,
                     fused_attrs: bool = False,
-                    remat_policy: str | None = None) -> jnp.ndarray:
+                    remat_policy: str | None = None,
+                    tile_skip: int = 0) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -169,7 +170,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             radiance = trace(scene, origin, direction, trace_key,
                              max_depth=max_depth, tmin=tmin, remat=remat,
                              fused_attrs=fused_attrs,
-                             remat_policy=remat_policy)
+                             remat_policy=remat_policy, tile_skip=tile_skip)
         return accum + radiance.reshape(spp, n_pix, 3).sum(axis=0)
 
     return jax.lax.fori_loop(
@@ -178,18 +179,21 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
-                                   "persistent", "fused_attrs", "remat_policy"))
+                                   "persistent", "fused_attrs", "remat_policy",
+                                   "tile_skip"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
                   compact: bool = False, samples_per_pass: int = 1,
                   persistent: bool = False, pixel_start=None,
                   fused_attrs: bool = False,
-                  remat_policy: str | None = None) -> jnp.ndarray:
+                  remat_policy: str | None = None,
+                  tile_skip: int = 0) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
-                          persistent, pixel_start, fused_attrs, remat_policy)
+                          persistent, pixel_start, fused_attrs, remat_policy,
+                          tile_skip)
     return acc / n_samples
 
 
@@ -201,7 +205,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     compact: bool = False, persistent: bool = False,
                     rays_per_pass: int | None = None,
                     fused_attrs: bool = False,
-                    remat_policy: str | None = None) -> jnp.ndarray:
+                    remat_policy: str | None = None,
+                    tile_skip: int = 0) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -223,7 +228,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
         out = _render_chunk(scene, cam, u, v, key, n_samples, max_depth,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
                             compact, spp_pass, persistent,
-                            fused_attrs=fused_attrs, remat_policy=remat_policy)
+                            fused_attrs=fused_attrs, remat_policy=remat_policy,
+                            tile_skip=tile_skip)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -240,7 +246,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 n_samples, max_depth, tmin, remat,
                 float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
                 persistent, pixel_start=jnp.int32(c * pixel_chunk),
-                fused_attrs=fused_attrs, remat_policy=remat_policy))
+                fused_attrs=fused_attrs, remat_policy=remat_policy,
+                tile_skip=tile_skip))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -1,0 +1,95 @@
+"""On-device benchmark of the non-flagship BASELINE.json configs.
+
+BASELINE.json lists five canonical configs; bench.py covers only the
+flagship. This driver measures the other four on the real chip with the
+production persistent path, appends records to ``bench_history.jsonl``, and
+prints a README-ready table (reference analog: the microbench rows of
+BASELINE.md / src/proto/proto.jl timing history).
+
+Usage:  python scripts/config_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+#: (label, scene, camera, W, H, spp) — BASELINE.json configs 1-4. The defocus
+#: config uses t_cam2 (aperture 2.0 demo camera, src/proto/proto.jl:21-22) on
+#: the diffuse+metal dielectric scene.
+CONFIGS = [
+    ("2_spheres_200x100x8", "2_spheres", "default", 200, 100, 8),
+    ("4_spheres_400x200x32", "4_spheres", "default", 400, 200, 32),
+    ("diel_hollow_400x200x64", "diel_spheres_hollow", "hollow_glass", 400, 200, 64),
+    ("defocus_800x400x128", "diel_spheres", "cam2", 800, 400, 128),
+]
+
+#: Reference microbench anchors (BASELINE.md): measured reference wall-clocks
+#: for *similar* configs, scaled by path count to the config benchmarked here
+#: (the reference never published these exact four; the scale base is cited
+#: per row). None = no defensible anchor.
+REF_ANCHORS = {
+    # scene_2_spheres 96x54x16 took 951.4 us single-thread-era
+    # (src/proto/proto.jl:64-66) => per-path 11.5 ns; 200x100x8 = 160k paths.
+    "2_spheres_200x100x8": 951.4e-6 / (96 * 54 * 16) * (200 * 100 * 8),
+    # random_spheres 200x112x32 took 296.8 ms on 16T (src/proto/proto.jl:196-200)
+    # — harder scene than 4_spheres; used as a conservative anchor.
+    "4_spheres_400x200x32": 296.8e-3 / (200 * 112 * 32) * (400 * 200 * 32),
+    # scene_diel_spheres 96x54x16 (t_cam2) 6.52 ms on 16T
+    # (src/proto/proto.jl:269-271).
+    "diel_hollow_400x200x64": 6.52e-3 / (96 * 54 * 16) * (400 * 200 * 64),
+    "defocus_800x400x128": 6.52e-3 / (96 * 54 * 16) * (800 * 400 * 128),
+}
+
+
+def main() -> None:
+    from raytracingweekend_jl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import raytracingweekend_jl_tpu as rtw
+    from raytracingweekend_jl_tpu.utils.metrics import append_history
+
+    cam_builders = {"default": rtw.t_default_cam, "cam1": rtw.t_cam1,
+                    "cam2": rtw.t_cam2, "hollow_glass": rtw.hollow_glass_cam}
+
+    hist = os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl")
+    rows = []
+    for label, scene_name, cam_name, W, H, spp in CONFIGS:
+        scene = rtw.ALL_SCENES[scene_name]()
+        cam = cam_builders[cam_name]()
+        paths = W * H * spp
+
+        def run(seed):
+            img = rtw.render_radiance(scene, cam, W, spp, image_height=H,
+                                      seed=seed, persistent=True)
+            return float(np.asarray(img).sum())  # host fetch = sync
+
+        t0 = time.time(); run(0); warm = time.time() - t0
+        t0 = time.time(); run(1); run(2); steady = (time.time() - t0) / 2
+
+        mpaths = paths / steady / 1e6
+        anchor = REF_ANCHORS.get(label)
+        rec = {"ts": time.time(), "label": f"config_{label}",
+               "wall_s": round(steady, 4), "paths": paths,
+               "mpaths_per_s": round(mpaths, 3),
+               "warm_s": round(warm, 1),
+               "ref_anchor_s": round(anchor, 4) if anchor else None,
+               "vs_ref_anchor": round(anchor / steady, 1) if anchor else None,
+               "device": str(jax.devices()[0])}
+        append_history(rec, hist)
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print("\n| config | wall (s) | Mpaths/s | ref anchor (s) | speedup |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['label'][7:]} | {r['wall_s']} | {r['mpaths_per_s']} | "
+              f"{r['ref_anchor_s']} | {r['vs_ref_anchor']}x |")
+
+
+if __name__ == "__main__":
+    main()

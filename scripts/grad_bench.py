@@ -60,10 +60,18 @@ def main() -> None:
     # Perturbed scene so gradients are non-trivial.
     bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
 
-    configs = [("remat_chunk512k", dict(remat=True, pixel_chunk=1 << 19)),
-               ("noremat_chunk512k", dict(remat=False, pixel_chunk=1 << 19)),
-               ("remat_full", dict(remat=True, pixel_chunk=None)),
-               ("noremat_full", dict(remat=False, pixel_chunk=None))]
+    configs = [
+        ("remat_chunk512k", dict(remat=True, pixel_chunk=1 << 19)),
+        ("remat_tileskip_chunk512k",
+         dict(remat=True, pixel_chunk=1 << 19, tile_skip=16384)),
+        ("noremat_chunk256k", dict(remat=False, pixel_chunk=1 << 18)),
+        ("noremat_tileskip_chunk256k",
+         dict(remat=False, pixel_chunk=1 << 18, tile_skip=16384)),
+        ("dots_chunk512k",
+         dict(remat=True, pixel_chunk=1 << 19, remat_policy="dots")),
+        ("fusedattrs_remat_chunk512k",
+         dict(remat=True, pixel_chunk=1 << 19, fused_attrs=True)),
+    ]
     if args.quick:
         configs = configs[:1]
 
