@@ -1,0 +1,116 @@
+"""Elastic tile scheduler: per-tile dispatch, retry, and device re-dispatch.
+
+The reference dies with its process on any fault (SURVEY.md §5 "Failure
+detection: None"; a crash loses the whole fork-join render,
+src/render.jl:23-42). The sample-axis story here is chunk retry + durable
+checkpoints (utils/checkpoint.py). This module adds the *pixel-axis* story
+SURVEY §5 marks as the stretch goal: the image is decomposed into independent
+pixel tiles, each dispatched to a specific device as its own computation —
+so a transient tile failure retries in place, and a device that keeps
+failing is quarantined with its pending tiles re-dispatched to the healthy
+survivors. The render completes (degraded throughput, same image) as long as
+one device stays alive.
+
+Contrast with parallel/shard.py: the shard_map driver is ONE jitted program
+over the whole mesh — maximal throughput, but a single device fault kills
+the step. The elastic driver trades a little dispatch overhead for fault
+isolation; use it for long unattended renders on flaky capacity. RNG streams
+are keyed by global tile id exactly like the shard driver, so the image is
+bit-identical no matter which device ends up rendering which tile, or how
+many retries happened.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .. import rng
+from ..camera import Camera
+from ..render import (render_tile_sum, pixel_coords, image_height_for)
+from ..scene import Scene
+
+#: Consecutive failures on one device before it is quarantined.
+DEVICE_FAILURE_LIMIT = 2
+
+
+def _run_tile(scene, cam, u_t, v_t, tile_key, n_samples, max_depth, tmin,
+              f32_w, f32_h, pixel_start, device):
+    """One tile on one explicit device (compute follows committed inputs)."""
+    put = lambda x: jax.device_put(x, device)
+    acc = render_tile_sum(jax.tree.map(put, scene), jax.tree.map(put, cam),
+                          put(u_t), put(v_t), put(tile_key), n_samples, 0,
+                          max_depth, tmin, False, f32_w, f32_h,
+                          pixel_start=put(pixel_start))
+    return np.asarray(acc)  # host fetch surfaces device faults here
+
+
+def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
+                            n_samples: int = 1, *, image_height: int | None = None,
+                            tile_size: int = 8192, seed: int = 0,
+                            max_depth: int = 16, tmin: float = 1e-4,
+                            devices=None, max_retries: int = 2,
+                            progress: bool = False) -> jnp.ndarray:
+    """Fault-isolated mean radiance ``[H,W,3]``.
+
+    Every tile is retried up to ``max_retries`` times; a device accumulating
+    ``DEVICE_FAILURE_LIMIT`` consecutive failures is dropped and its queue
+    redistributes over the remaining devices. Raises only when no healthy
+    device remains or a tile exhausts retries on a healthy device.
+    """
+    H = image_height if image_height is not None else image_height_for(image_width)
+    W = image_width
+    n_pix = W * H
+    u, v = pixel_coords(W, H, dtype=cam.origin.dtype)
+    n_tiles = -(-n_pix // tile_size)
+    pad = n_tiles * tile_size - n_pix
+    u = jnp.pad(u, (0, pad))
+    v = jnp.pad(v, (0, pad))
+    key = jax.random.PRNGKey(seed)
+    f32_w, f32_h = float(np.float32(W)), float(np.float32(H))
+
+    devices = list(devices if devices is not None else jax.devices())
+    fail_streak = {d: 0 for d in devices}
+    out = np.zeros((n_tiles * tile_size, 3), np.float64)
+    queue = list(range(n_tiles))
+    attempts: dict[int, int] = {}
+
+    while queue:
+        if not devices:
+            raise RuntimeError("no healthy devices left for elastic render")
+        t_id = queue.pop(0)
+        dev = devices[t_id % len(devices)]
+        sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
+        # Same stream derivation as parallel/shard.py: global tile id keys the
+        # tile, so placement/retries never change the image.
+        tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
+        try:
+            t0 = time.time()
+            acc = _run_tile(scene, cam, u[sl], v[sl], tile_key, n_samples,
+                            max_depth, tmin, f32_w, f32_h,
+                            jnp.int32(t_id * tile_size), dev)
+            fail_streak[dev] = 0
+            out[sl] = acc
+            if progress:
+                print(json.dumps({"tile": t_id, "device": str(dev),
+                                  "s": round(time.time() - t0, 3)}), flush=True)
+        except Exception as e:  # noqa: BLE001 — device faults are opaque
+            attempts[t_id] = attempts.get(t_id, 0) + 1
+            fail_streak[dev] += 1
+            if fail_streak[dev] >= DEVICE_FAILURE_LIMIT:
+                devices.remove(dev)  # quarantine; its tiles re-dispatch
+                if progress:
+                    print(json.dumps({"quarantined": str(dev)}), flush=True)
+            elif attempts[t_id] > max_retries:
+                raise
+            queue.append(t_id)  # re-dispatch (possibly on another device)
+            if progress:
+                print(json.dumps({"tile": t_id, "retry": attempts[t_id],
+                                  "error": repr(e)[:120]}), flush=True)
+
+    return jnp.asarray((out[:n_pix] / n_samples).reshape(H, W, 3),
+                       cam.origin.dtype)

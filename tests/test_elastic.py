@@ -1,0 +1,85 @@
+"""Elastic tile scheduler: retry, device quarantine, and placement-invariant
+images (SURVEY.md §5 failure-detection stretch goal — the reference loses the
+whole render on any fault)."""
+
+import jax
+import numpy as np
+import pytest
+
+from raytracingweekend_jl_tpu import scene_2_spheres, t_default_cam
+from raytracingweekend_jl_tpu.parallel import elastic
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_elastic_clean_run_matches_plain():
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    from raytracingweekend_jl_tpu.render import render_radiance
+    img = np.asarray(elastic.render_radiance_elastic(
+        scene, cam, 48, 4, tile_size=256, seed=4))
+    ref = np.asarray(render_radiance(scene, cam, 48, 4, seed=4))
+    assert img.shape == ref.shape
+    assert abs(img.mean() - ref.mean()) < 0.02  # different tile->key layout
+
+
+def test_elastic_survives_persistent_device_fault(monkeypatch):
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    clean = np.asarray(elastic.render_radiance_elastic(
+        scene, cam, 48, 2, tile_size=256, seed=4))
+
+    bad_dev = jax.devices()[1]
+    real = elastic._run_tile
+    n_faults = {"n": 0}
+
+    def flaky(scene, cam, u_t, v_t, key, n_samples, md, tmin, fw, fh, ps,
+              device):
+        if device == bad_dev:
+            n_faults["n"] += 1
+            raise RuntimeError("injected device fault")
+        return real(scene, cam, u_t, v_t, key, n_samples, md, tmin, fw, fh,
+                    ps, device)
+
+    monkeypatch.setattr(elastic, "_run_tile", flaky)
+    img = np.asarray(elastic.render_radiance_elastic(
+        scene, cam, 48, 2, tile_size=256, seed=4))
+    # The faulty device fired, was quarantined, and its tiles were
+    # re-dispatched — the image is BIT-identical to the clean run (tile-keyed
+    # RNG makes placement immaterial).
+    assert n_faults["n"] >= elastic.DEVICE_FAILURE_LIMIT
+    np.testing.assert_array_equal(img, clean)
+
+
+def test_elastic_transient_fault_retries_in_place(monkeypatch):
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    clean = np.asarray(elastic.render_radiance_elastic(
+        scene, cam, 48, 2, tile_size=256, seed=4))
+    real = elastic._run_tile
+    state = {"failed": False}
+
+    def once_flaky(*args):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("transient fault")
+        return real(*args)
+
+    monkeypatch.setattr(elastic, "_run_tile", once_flaky)
+    img = np.asarray(elastic.render_radiance_elastic(
+        scene, cam, 48, 2, tile_size=256, seed=4))
+    np.testing.assert_array_equal(img, clean)
+
+
+def test_elastic_all_devices_dead_raises(monkeypatch):
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+
+    def always_fail(*args):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(elastic, "_run_tile", always_fail)
+    with pytest.raises(RuntimeError):
+        elastic.render_radiance_elastic(scene, cam, 48, 2, tile_size=256,
+                                        seed=4, max_retries=1)
