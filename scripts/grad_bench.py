@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--quick", action="store_true",
                     help="only the best-known config, one repeat")
+    ap.add_argument("--config", default=None,
+                    help="run only this config name (fresh-process isolation:"
+                         " a device left RESOURCE_EXHAUSTED by one config "
+                         "poisons every later one in the same process)")
     args = ap.parse_args()
 
     from raytracingweekend_jl_tpu.utils.cache import enable_compilation_cache
@@ -71,9 +75,15 @@ def main() -> None:
          dict(remat=True, pixel_chunk=1 << 19, remat_policy="dots")),
         ("fusedattrs_remat_chunk512k",
          dict(remat=True, pixel_chunk=1 << 19, fused_attrs=True)),
+        ("remat_tileskip64k_chunk512k",
+         dict(remat=True, pixel_chunk=1 << 19, tile_skip=1 << 16)),
     ]
     if args.quick:
         configs = configs[:1]
+    if args.config:
+        configs = [c for c in configs if c[0] == args.config]
+        if not configs:
+            raise SystemExit(f"unknown config {args.config}")
 
     paths = W * H * spp
     hist_path = os.path.join(os.path.dirname(__file__), "..",

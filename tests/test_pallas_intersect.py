@@ -156,7 +156,7 @@ def test_fused_fetch_trace_matches_xla_trace():
     from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import intersect_fetch_pallas
     orig = integ._pick_intersector
     try:
-        integ._pick_intersector = lambda up: (
+        integ._pick_intersector = lambda up, **kw: (
             lambda org, dd, s, tm: intersect_fetch_pallas(org, dd, s, tmin=tm,
                                                           interpret=True))
         a = np.asarray(trace(scene, o, d, KEY, use_pallas=True))
