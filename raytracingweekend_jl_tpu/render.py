@@ -86,7 +86,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     persistent: bool = False, pixel_start=None,
                     fused_attrs: bool = False,
                     remat_policy: str | None = None,
-                    tile_skip: int = 0) -> jnp.ndarray:
+                    tile_skip: int = 0,
+                    recorded: bool = False) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -166,6 +167,12 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             # (matches trace(keyed=True) to <=1 ulp).
             radiance = trace_compacted(scene, origin, direction, trace_key,
                                        max_depth=max_depth, tmin=tmin)
+        elif recorded:
+            # Recorded-path custom VJP: no remat recompute, sweep-free
+            # backward (ops/grad_trace.py) — the production grad path.
+            from .ops.grad_trace import trace_recorded
+            radiance = trace_recorded(scene, origin, direction, trace_key,
+                                      max_depth, tmin, None)
         else:
             radiance = trace(scene, origin, direction, trace_key,
                              max_depth=max_depth, tmin=tmin, remat=remat,
@@ -180,7 +187,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
                                    "persistent", "fused_attrs", "remat_policy",
-                                   "tile_skip"))
+                                   "tile_skip", "recorded"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -188,12 +195,13 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   persistent: bool = False, pixel_start=None,
                   fused_attrs: bool = False,
                   remat_policy: str | None = None,
-                  tile_skip: int = 0) -> jnp.ndarray:
+                  tile_skip: int = 0,
+                  recorded: bool = False) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
-                          tile_skip)
+                          tile_skip, recorded)
     return acc / n_samples
 
 
@@ -206,7 +214,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     rays_per_pass: int | None = None,
                     fused_attrs: bool = False,
                     remat_policy: str | None = None,
-                    tile_skip: int = 0) -> jnp.ndarray:
+                    tile_skip: int = 0,
+                    recorded: bool = False) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -229,7 +238,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
                             compact, spp_pass, persistent,
                             fused_attrs=fused_attrs, remat_policy=remat_policy,
-                            tile_skip=tile_skip)
+                            tile_skip=tile_skip, recorded=recorded)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -247,7 +256,7 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
                 persistent, pixel_start=jnp.int32(c * pixel_chunk),
                 fused_attrs=fused_attrs, remat_policy=remat_policy,
-                tile_skip=tile_skip))
+                tile_skip=tile_skip, recorded=recorded))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

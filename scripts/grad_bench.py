@@ -77,6 +77,12 @@ def main() -> None:
          dict(remat=True, pixel_chunk=1 << 19, fused_attrs=True)),
         ("remat_tileskip64k_chunk512k",
          dict(remat=True, pixel_chunk=1 << 19, tile_skip=1 << 16)),
+        ("recorded_chunk512k",
+         dict(remat=False, recorded=True, pixel_chunk=1 << 19)),
+        ("recorded_chunk1m",
+         dict(remat=False, recorded=True, pixel_chunk=1 << 20)),
+        ("recorded_full",
+         dict(remat=False, recorded=True, pixel_chunk=None)),
     ]
     if args.quick:
         configs = configs[:1]

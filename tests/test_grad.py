@@ -134,3 +134,47 @@ def test_tile_skip_statistical_equivalence():
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.01
     assert np.abs(a - b).mean() < 0.05
+
+
+def test_grad_recorded_matches_fd():
+    # Recorded-path custom VJP (ops/grad_trace.py): gradients through the
+    # replayed bounce chain + implicit-t closed form must match finite
+    # differences exactly like the remat path does.
+    with jax.enable_x64(True):
+        dtype = jnp.float64
+        scene = small_scene(dtype)
+        cam = default_camera(dtype=dtype)
+        target = jnp.zeros((18, 32, 3), dtype)
+        kwargs = dict(image_width=32, n_samples=2, seed=7, recorded=True,
+                      remat=False)
+
+        loss, grads = render_grads(scene, cam, target, **kwargs)
+        g_ad = np.asarray(grads.albedo)[0, 0]
+
+        def loss_at(delta):
+            arr = np.asarray(scene.albedo).copy()
+            arr[0, 0] += delta
+            s2 = scene._replace(albedo=jnp.asarray(arr, dtype))
+            return float(render_loss(s2, cam, target, **kwargs))
+
+        eps = 1e-4
+        g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+        np.testing.assert_allclose(g_ad, g_fd, rtol=1e-4, atol=1e-9)
+
+
+def test_recorded_matches_remat_gradients():
+    # Same bounce math, same RNG replay => gradients agree with the default
+    # checkpointed path to float32 tolerance on every differentiable field.
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    target = jnp.zeros((27, 48, 3), jnp.float32)
+    _, g_rec = render_grads(scene, cam, target, image_width=48, n_samples=2,
+                            seed=5, recorded=True, remat=False)
+    _, g_rem = render_grads(scene, cam, target, image_width=48, n_samples=2,
+                            seed=5)
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a, b = np.asarray(getattr(g_rec, f)), np.asarray(getattr(g_rem, f))
+        scale = max(np.abs(b).max(), 1e-6)
+        # float32 replay linearizes at recorded states that differ from the
+        # sweep's by ulps; allow small absolute noise on tiny gradients.
+        np.testing.assert_allclose(a, b, atol=2e-6 + 1e-3 * scale, err_msg=f)
