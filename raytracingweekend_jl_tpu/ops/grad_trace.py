@@ -71,11 +71,19 @@ def _implicit_t(org, d, center, radius, t_rec, hit):
 
 
 def _bounce_local(scene: Scene, org, d, thr, t_rec, idx, alive, hit, key_b,
-                  tmin):
+                  tmin, implicit_t: bool):
     """One bounce as a local differentiable function of (scene, org, d, thr)
     with the sweep's discrete outputs (idx, hit, alive) as constants.
-    Returns (org', d', thr', rad_increment) — identical arithmetic to
-    ``trace``'s bounce body except t comes from the implicit closed form."""
+    Returns (org', d', thr', rad_increment).
+
+    ``implicit_t=False`` (record phase): use the sweep's t verbatim — the
+    primal trajectory is then bit-compatible with ``trace``'s (recomputing t
+    with different float32 expansions shifts hit points by the ground
+    sphere's ~1e6-scale cancellation error, enough to cause acne-style path
+    divergence). ``implicit_t=True`` (backward): re-derive t from the sphere
+    equation so cotangents flow to origins/directions/centers/radii; the
+    VALUE still matches the recorded t to float error, it is only the
+    linearization that needs the closed form."""
     dtype = org.dtype
     attrs = gather_sphere_attrs(scene, idx, dtype)
     center, radius = attrs[0], attrs[1]
@@ -83,7 +91,10 @@ def _bounce_local(scene: Scene, org, d, thr, t_rec, idx, alive, hit, key_b,
     miss_now = alive & ~hit
     rad_inc = jnp.where(miss_now[..., None], thr * skycolor(d), 0.0)
 
-    t_safe = _implicit_t(org, d, center, radius, t_rec, hit)
+    if implicit_t:
+        t_safe = _implicit_t(org, d, center, radius, t_rec, hit)
+    else:
+        t_safe = t_rec
     s = scatter(scene, org, d, t_safe, idx, key_b, attrs=attrs)
 
     live_hit = (alive & hit)[..., None]
@@ -126,7 +137,7 @@ def _record_forward(scene, origin, direction, key, max_depth, tmin,
         key_b = jax.random.fold_in(key, b)
         org, d, thr, rad_inc = _bounce_local(scene, org, d, thr, t_rec,
                                              res.index, alive, hit, key_b,
-                                             tmin)
+                                             tmin, implicit_t=False)
         return org, d, thr, rad + rad_inc, alive & hit, rec
 
     rec0 = (jnp.zeros((max_depth, R, 3), dtype),
@@ -165,7 +176,8 @@ def _trace_recorded_bwd(max_depth, tmin, use_pallas, residuals, g_rad):
 
         def local(scene_, org_, d_, thr_):
             return _bounce_local(scene_, org_, d_, thr_, rec_t[b], rec_i[b],
-                                 rec_a[b], rec_h[b], key_b, tmin)
+                                 rec_a[b], rec_h[b], key_b, tmin,
+                                 implicit_t=True)
 
         _, vjp_fn = jax.vjp(local, scene, rec_o[b], rec_d[b], rec_th[b])
         gs, go, gd, gt = vjp_fn((g_org, g_d, g_thr, g_rad))
