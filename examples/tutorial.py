@@ -110,6 +110,21 @@ def main():
                                   tile_size=256)
     print(f"rendered on a {n}-device mesh:", np.asarray(img).shape)
 
+    chapter(9, "The reference's exact scene (Xoroshiro replay)")
+    # The scene instance the reference's own `reseed!(); scene_random_spheres`
+    # produces, replayed bit-exactly in Python (docs/PARITY.md section 4).
+    ref_scene = rtw.scene_random_spheres_reference()
+    mats = np.asarray(ref_scene.mat)[np.asarray(ref_scene.radius) != 0]
+    print(f"  {mats.size} spheres: "
+          f"{(mats == 0).sum()} diffuse / {(mats == 1).sum()} metal / "
+          f"{(mats == 2).sum()} glass")
+
+    chapter(10, "Elastic rendering (survives device faults)")
+    from raytracingweekend_jl_tpu.parallel.elastic import render_radiance_elastic
+    img = render_radiance_elastic(rtw.scene_2_spheres(), cam, 64, 2,
+                                  tile_size=256, seed=1)
+    print("  elastic per-tile render:", np.asarray(img).shape)
+
 
 if __name__ == "__main__":
     main()
