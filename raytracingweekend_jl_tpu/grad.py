@@ -56,10 +56,15 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     """Scalar image loss of a differentiable render against ``target`` [H,W,3]
     (linear radiance, not gamma-encoded — compare in linear space).
 
-    ``remat`` defaults to True (checkpointed bounce loop) but may be
-    overridden through ``kwargs`` — at moderate pixel chunks stashing the
-    bounce residuals instead can be faster (see scripts/grad_bench.py)."""
-    kwargs.setdefault("remat", True)
+    Defaults to the RECORDED-path integrator (ops/grad_trace.py): primal
+    bitwise-identical to the plain trace, backward via path replay — measured
+    2.8 Mpaths/s for a flagship value_and_grad step vs 0.96 for the
+    checkpointed XLA transpose (scripts/grad_bench.py; pass
+    ``recorded=False, remat=True`` to use the latter). At flagship sizes pass
+    ``pixel_chunk=1<<20`` so per-bounce path records (~12 floats/ray/bounce)
+    stay within HBM."""
+    kwargs.setdefault("recorded", True)
+    kwargs.setdefault("remat", not kwargs["recorded"])
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

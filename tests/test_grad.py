@@ -171,7 +171,7 @@ def test_recorded_matches_remat_gradients():
     _, g_rec = render_grads(scene, cam, target, image_width=48, n_samples=2,
                             seed=5, recorded=True, remat=False)
     _, g_rem = render_grads(scene, cam, target, image_width=48, n_samples=2,
-                            seed=5)
+                            seed=5, recorded=False, remat=True)
     for f in ("center", "radius", "albedo", "fuzz", "ir"):
         a, b = np.asarray(getattr(g_rec, f)), np.asarray(getattr(g_rem, f))
         scale = max(np.abs(b).max(), 1e-6)
