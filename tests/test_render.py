@@ -133,3 +133,46 @@ def test_no_recompile_across_identical_renders():
     render_radiance(scene, cam, 48, 2, seed=2)  # new seed = new key VALUE only
     render_radiance(scene, cam, 48, 2, seed=3)
     assert _render_chunk._cache_size() == before
+
+
+def test_f32_matches_f64_oracle_bounded():
+    # Precision contract (VERDICT r1 Missing #4): the reference benchmarks in
+    # Float64 end-to-end (src/proto/proto.jl:15); the TPU production path is
+    # f32. Two-part contract, since threefry consumes different bits per
+    # dtype (draw VALUES differ, so per-pixel comparison is only meaningful
+    # where draws cannot steer the path):
+    #
+    # 1. Deterministic sub-path (fuzz-0 metal chains, aperture 0, centered
+    #    sample): per-pixel f32-vs-f64 divergence is pure float error through
+    #    up to 16 bounces — tight bound.
+    # 2. Full stochastic scene (hollow glass): mean-radiance agreement at
+    #    matched spp — the estimators target the same integral.
+    import jax
+    from raytracingweekend_jl_tpu import (make_scene, metal, default_camera,
+                                          scene_diel_spheres_hollow,
+                                          hollow_glass_cam)
+
+    def mirror_scene(dtype):
+        return make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0),
+                           metal((2, 1, -2), 1.0, (0.9, 0.9, 0.9), 0.0)],
+                          dtype=dtype)
+
+    with jax.enable_x64(True):
+        d64 = np.asarray(render_radiance(
+            mirror_scene(jnp.float64),
+            default_camera((0, 2, 0), (1, 1, 0), dtype=jnp.float64), 64, 1,
+            seed=9))
+        h64 = np.asarray(render_radiance(
+            scene_diel_spheres_hollow(dtype=jnp.float64),
+            hollow_glass_cam(dtype=jnp.float64), 64, 16, seed=9))
+    d32 = np.asarray(render_radiance(
+        mirror_scene(jnp.float32),
+        default_camera((0, 2, 0), (1, 1, 0), dtype=jnp.float32), 64, 1,
+        seed=9))
+    h32 = np.asarray(render_radiance(
+        scene_diel_spheres_hollow(dtype=jnp.float32),
+        hollow_glass_cam(dtype=jnp.float32), 64, 16, seed=9))
+
+    det = np.abs(d32.astype(np.float64) - d64)
+    assert det.max() < 2e-4, det.max()          # deterministic: float error only
+    assert abs(h32.mean() - h64.mean()) < 5e-3  # stochastic: same integral
