@@ -623,7 +623,8 @@ def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
-                                   "f32_w", "f32_h", "k", "interpret"))
+                                   "f32_w", "f32_h", "k", "interpret",
+                                   "sample_groups"))
 def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
                                   v: jnp.ndarray, key: jax.Array,
                                   n_samples: int, sample_offset,
@@ -632,7 +633,8 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
                                   f32_w: float = 0.0, f32_h: float = 0.0,
                                   k: int = 8,
                                   interpret: bool = False,
-                                  pixel_start=0) -> jnp.ndarray:
+                                  pixel_start=0,
+                                  sample_groups: int = 1) -> jnp.ndarray:
     """Load-balanced persistent renderer: each lane serves ``k`` pixels spaced
     ``R_lanes`` apart (different image rows), switching pixels in place when
     one finishes its samples — the straggler fix for pixel-pinned lanes (see
@@ -658,10 +660,17 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     if max_depth <= 0 or n_samples <= 0:
         return jnp.zeros((u.shape[0], 3), u.dtype)
 
+    m = sample_groups
+    if m > 1 and k != 1:
+        raise ValueError("sample_groups > 1 requires k == 1 (lanes own "
+                         "(pixel, sample-slice) units, strips disabled)")
+    if n_samples % m:
+        raise ValueError(f"sample_groups={m} must divide n_samples={n_samples}")
+
     dtype = u.dtype
     W, H = int(f32_w), int(f32_h)
     n_pix = u.shape[0]
-    r_lanes = -(-n_pix // k)
+    r_lanes = -(-n_pix // k) * m
     rows = -(-(-(-r_lanes // LANES)) // SHADE_ROWS) * SHADE_ROWS
     lanes_padded = rows * LANES
 
@@ -674,7 +683,21 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     def pad_plane(x):
         return jnp.pad(x, (0, lanes_padded - r_lanes)).reshape(rows, LANES)
 
-    pid0 = pixel_start + jnp.arange(r_lanes, dtype=jnp.int32)
+    lane = jnp.arange(r_lanes, dtype=jnp.int32)
+    if m > 1:
+        # Sample-folded layout (small images): lane g*n_pix+p serves pixel p,
+        # samples [offset + g*spg, +spg) — iterations drop from ~spp*depth to
+        # ~(spp/m)*depth, the latency fix for overhead-bound small configs.
+        spg = n_samples // m
+        pid0 = pixel_start + lane % n_pix
+        sample_ids = sample_offset + (lane // n_pix) * spg
+        lane_lim = sample_ids + spg - 1
+    else:
+        spg = n_samples
+        pid0 = pixel_start + lane
+        sample_ids = jnp.full((r_lanes,), sample_offset, jnp.int32)
+        lane_lim = jnp.full((r_lanes,), sample_offset + n_samples - 1,
+                            jnp.int32)
     px0 = pid0 % W
     py0 = pid0 // W
     active0 = (pid0 < p_end).astype(jnp.int32)
@@ -685,7 +708,6 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     from .sampling import concentric_disk_map, per_ray_uniforms
     from .. import rng as rngmod
     key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
-    sample_ids = jnp.full((r_lanes,), sample_offset, jnp.int32)
     keys0 = jax.vmap(jax.random.fold_in)(
         jax.vmap(jax.random.fold_in, (None, 0))(key_cam, pid0),
         sample_ids)
@@ -703,7 +725,7 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     state_flat = ([org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
                    ones, ones, ones, zer, zer, zer,
                    izer, sample_ids, izer, px0, py0,
-                   active0]
+                   active0, lane_lim]
                   + [zer] * (3 * k))
     state = tuple(pad_plane(x) for x in state_flat)
 
@@ -719,7 +741,7 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
 
     def cond(st):
         state, it = st
-        return jnp.any(state[17] != 0) & (it < k * n_samples * max_depth)
+        return jnp.any(state[17] != 0) & (it < k * spg * max_depth + max_depth)
 
     def body(st):
         state, it = st
@@ -740,11 +762,19 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
 
     (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
 
-    # Assemble: pixel p = j + c*r_lanes lives in buf strip c, lane j.
     chans = []
-    for ch in range(3):
-        parts = [state[18 + 3 * c + ch].reshape(-1)[:r_lanes] for c in range(k)]
-        chans.append(jnp.concatenate(parts)[:n_pix])
+    if m > 1:
+        # Sample-folded: lane g*n_pix+p accumulated pixel p's group g into
+        # buf strip 0 — sum the groups.
+        for ch in range(3):
+            buf = state[19 + ch].reshape(-1)[:r_lanes]
+            chans.append(buf.reshape(m, n_pix).sum(axis=0))
+    else:
+        # Strided: pixel p = j + c*lanes_per_strip lives in buf strip c.
+        for ch in range(3):
+            parts = [state[19 + 3 * c + ch].reshape(-1)[:r_lanes]
+                     for c in range(k)]
+            chans.append(jnp.concatenate(parts)[:n_pix])
     return jnp.stack(chans, axis=-1)
 
 

@@ -382,7 +382,7 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
         u9_ref = None
     else:
         u9_ref, refs = refs[0], refs[1:]
-    n_state = 18 + 3 * k
+    n_state = 19 + 3 * k
     in_refs = refs[:11 + n_state]
     out_refs = refs[11 + n_state:]
     (t_ref, acx_ref, acy_ref, acz_ref, ar_ref, aar_ref, aag_ref,
@@ -398,7 +398,10 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
     cx_, cy_, cz_ = st_in[9][:], st_in[10][:], st_in[11][:]  # cur accumulator
     bo, sa, strip = st_in[12][:], st_in[13][:], st_in[14][:]
     pxi, pyi, ac = st_in[15][:], st_in[16][:], st_in[17][:]
-    bufs = [st_in[18 + i][:] for i in range(3 * k)]
+    # Per-lane last-sample id: lanes may own different sample slices of their
+    # pixel (sample_groups folding), so the limit is a plane, not a scalar.
+    lane_lim = st_in[18][:]
+    bufs = [st_in[19 + i][:] for i in range(3 * k)]
     active = ac != 0
 
     u9 = _uniforms(ox.shape, 9) if hw_prng else u9_ref[:]
@@ -424,12 +427,11 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
     tz = jnp.where(cont, tz * aab, tz)
     bo = jnp.where(cont, newb, bo)
 
-    # ray finished: next sample of this pixel, or switch to the next pixel
+    # ray finished: next sample of this lane's slice, or switch pixels
     need = miss | (hitm & ~cont)
-    last_sample = lim_ref[0]
     first_sample = lim_ref[1]
     nxt = sa + 1
-    same_pix = need & (nxt <= last_sample)
+    same_pix = need & (nxt <= lane_lim)
     done_pix = need & ~same_pix
 
     # fold the finished pixel's accumulator into its strip buffer
@@ -497,7 +499,8 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
     active = (active & ~need) | start
 
     out_vals = ([ox, oy, oz, dx, dy, dz, tx, ty, tz, cx_, cy_, cz_,
-                 bo, sa, strip, pxi, pyi, active.astype(jnp.int32)] + bufs)
+                 bo, sa, strip, pxi, pyi, active.astype(jnp.int32), lane_lim]
+                + bufs)
     for ref, val in zip(out_refs, out_vals):
         ref[:] = val
 
@@ -540,7 +543,7 @@ def shade_strided_step(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
 
     outs = pl.pallas_call(
         partial(_shade_strided_kernel, max_depth=max_depth, hw_prng=hw_prng,
-                k=(n_state - 18) // 3),
+                k=(n_state - 19) // 3),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,

@@ -79,6 +79,22 @@ def strided_k_for(n_pix: int, k_full: int = 64) -> int:
     return max(1, min(k_full, n_pix // STRIDED_MIN_LANES))
 
 
+def strided_sample_groups_for(n_pix: int, n_samples: int) -> int:
+    """Sample-group folding for SMALL tiles: when the pixel count alone
+    cannot fill the wavefront, each lane owns one (pixel, sample-slice) unit,
+    cutting persistent-loop iterations from ~spp*depth to ~(spp/m)*depth.
+    Returns the largest divisor of ``n_samples`` keeping lanes <= ~4x the
+    lane floor. 1 for big tiles (the flagship path is unchanged)."""
+    if n_pix >= STRIDED_MIN_LANES:
+        return 1
+    cap = max(1, (4 * STRIDED_MIN_LANES) // max(n_pix, 1))
+    best = 1
+    for mm in range(1, n_samples + 1):
+        if n_samples % mm == 0 and mm <= cap:
+            best = mm
+    return best
+
+
 def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     key: jax.Array, n_samples: int, sample_offset, max_depth: int,
                     tmin: float, remat: bool, f32_w: float, f32_h: float,
@@ -126,12 +142,13 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             full_image = n_pix == int(f32_w) * int(f32_h)
             if full_image or pixel_start is not None:
                 from .ops.integrator import persistent_render_sum_strided
+                m = strided_sample_groups_for(n_pix, n_samples)
                 return persistent_render_sum_strided(
                     scene, cam, u, v, key, n_samples, sample_offset,
                     max_depth, tmin, f32_w, f32_h,
-                    k=64 if full_image else strided_k_for(n_pix),
+                    k=1 if m > 1 else (64 if full_image else strided_k_for(n_pix)),
                     pixel_start=0 if pixel_start is None else pixel_start,
-                    interpret=not on_tpu)
+                    interpret=not on_tpu, sample_groups=m)
             from .ops.integrator import persistent_render_sum_fused
             return persistent_render_sum_fused(scene, cam, u, v, key, n_samples,
                                                sample_offset, max_depth, tmin,

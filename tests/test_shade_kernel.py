@@ -282,3 +282,45 @@ def test_strided_pixel_start_statistical_multisample():
     assert np.isfinite(tiled).all()
     assert abs(tiled.mean() - full.mean()) / spp < 0.01
     assert np.abs(tiled - full).mean() / spp < 0.06
+
+
+def test_strided_sample_groups_equivalence():
+    # Sample-folded lanes (each lane owns one (pixel, sample-slice)) must
+    # cover the same sample set as the sequential-regen layout: statistical
+    # agreement, and the strip-0 threefry streams are keyed by global
+    # (pixel, sample) id so group boundaries match chunk boundaries.
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    kw = dict(max_depth=16, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), interpret=True)
+    seq = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 8, 0, k=1, sample_groups=1, **kw))
+    folded = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 8, 0, k=1, sample_groups=4, **kw))
+    assert np.isfinite(folded).all()
+    assert abs(seq.mean() - folded.mean()) / 8 < 0.01
+    assert np.abs(seq - folded).mean() / 8 < 0.06
+
+
+def test_strided_sample_groups_mirror_exact():
+    # With m == spp every lane does exactly one sample, so every camera draw
+    # comes from the threefry path keyed by global (pixel, sample) — exactly
+    # the stream of four 1-spp chunk calls at offsets 0..3. On an RNG-free
+    # material path (fuzz-0 mirror) the folded sum is therefore bitwise the
+    # chunk sum.
+    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_strided
+    scene = make_scene([metal((0, -100.0, 0), 99.0, (0.8, 0.6, 0.4), 0.0)])
+    cam = default_camera((0, 2, 0), (1, 1, 0))
+    W, H = 48, 27
+    u, v = pixel_coords(W, H)
+    kw = dict(max_depth=8, tmin=1e-4, f32_w=float(np.float32(W)),
+              f32_h=float(np.float32(H)), interpret=True)
+    chunks = sum(np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 1, off, k=1, sample_groups=1, **kw))
+        for off in range(4))
+    folded = np.asarray(persistent_render_sum_strided(
+        scene, cam, u, v, KEY, 4, 0, k=1, sample_groups=4, **kw))
+    np.testing.assert_allclose(folded, chunks, atol=1e-5)
