@@ -60,13 +60,15 @@ def _padded_coords(image_width: int, image_height: int, tile_size: int,
 @partial(jax.jit, static_argnames=("mesh", "image_width", "image_height",
                                    "n_samples", "tile_size", "max_depth",
                                    "tmin", "remat", "compact",
-                                   "samples_per_pass", "persistent"))
+                                   "samples_per_pass", "persistent",
+                                   "recorded"))
 def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       mesh: Mesh, image_width: int, image_height: int,
                       n_samples: int, tile_size: int, max_depth: int,
                       tmin: float, remat: bool, compact: bool = False,
                       samples_per_pass: int = 1,
-                      persistent: bool = False) -> jnp.ndarray:
+                      persistent: bool = False,
+                      recorded: bool = False) -> jnp.ndarray:
     dtype = cam.origin.dtype
     n_tile_shards = mesh.shape[TILES_AXIS]
     n_sample_shards = mesh.shape[SAMPLES_AXIS]
@@ -99,7 +101,8 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                                        tile_key, local_spp, sample_offset,
                                        max_depth, tmin, remat, f32_w, f32_h,
                                        compact, samples_per_pass, persistent,
-                                       pixel_start=global_tile * tile_size)
+                                       pixel_start=global_tile * tile_size,
+                                       recorded=recorded)
             return jax.lax.dynamic_update_slice(acc, tile_sum[None], (i, 0, 0))
 
         acc = jax.lax.fori_loop(
@@ -128,7 +131,8 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                             seed: int | jax.Array = 0,
                             remat: bool = False, compact: bool = False,
                             persistent: bool = False,
-                            rays_per_pass: int | None = None) -> jnp.ndarray:
+                            rays_per_pass: int | None = None,
+                            recorded: bool = False) -> jnp.ndarray:
     """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``.
 
     ``compact``/``rays_per_pass`` mirror the single-chip driver: forward-only
@@ -146,7 +150,8 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                              image_height=H, n_samples=n_samples,
                              tile_size=tile_size, max_depth=max_depth,
                              tmin=tmin, remat=remat, compact=compact,
-                             samples_per_pass=spp_pass, persistent=persistent)
+                             samples_per_pass=spp_pass, persistent=persistent,
+                             recorded=recorded)
 
 
 def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
@@ -164,9 +169,13 @@ def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
 
     def loss_fn(diff_params):
         s = scene._replace(**diff_params)
+        # Recorded-path integrator (ops/grad_trace.py): its custom VJP
+        # composes with the shard_map transpose — each shard replays its own
+        # paths, and the scene cotangents are all-reduced exactly as before.
         img = render_radiance_sharded(s, cam, image_width, n_samples, mesh=mesh,
                                       image_height=target.shape[0],
-                                      tile_size=tile_size, seed=seed, remat=True)
+                                      tile_size=tile_size, seed=seed,
+                                      recorded=True)
         return jnp.mean((img - target) ** 2)
 
     params = {f: getattr(scene, f) for f in DIFF_FIELDS}
