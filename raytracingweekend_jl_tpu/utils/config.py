@@ -49,12 +49,19 @@ class RenderConfig:
         from ..models.scenes import ALL_SCENES, scene_random_spheres
         if self.scene == "random_spheres":
             return scene_random_spheres(seed=self.scene_seed, dtype=self.dtype())
+        if self.scene not in ALL_SCENES:
+            raise ValueError(f"unknown scene {self.scene!r}; "
+                             f"choose from {sorted(ALL_SCENES)}")
         return ALL_SCENES[self.scene](dtype=self.dtype())
 
     def build_camera(self):
         from ..camera import t_default_cam, t_cam1, t_cam2, hollow_glass_cam
-        return {"default": t_default_cam, "cam1": t_cam1, "cam2": t_cam2,
-                "hollow_glass": hollow_glass_cam}[self.camera](dtype=self.dtype())
+        cams = {"default": t_default_cam, "cam1": t_cam1, "cam2": t_cam2,
+                "hollow_glass": hollow_glass_cam}
+        if self.camera not in cams:
+            raise ValueError(f"unknown camera {self.camera!r}; "
+                             f"choose from {sorted(cams)}")
+        return cams[self.camera](dtype=self.dtype())
 
     def to_dict(self) -> dict:
         return asdict(self)
