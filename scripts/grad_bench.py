@@ -65,18 +65,20 @@ def main() -> None:
     bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
 
     configs = [
-        ("remat_chunk512k", dict(remat=True, pixel_chunk=1 << 19)),
+        ("remat_chunk512k", dict(remat=True, recorded=False, pixel_chunk=1 << 19)),
         ("remat_tileskip_chunk512k",
-         dict(remat=True, pixel_chunk=1 << 19, tile_skip=16384)),
-        ("noremat_chunk256k", dict(remat=False, pixel_chunk=1 << 18)),
+         dict(remat=True, recorded=False, pixel_chunk=1 << 19, tile_skip=16384)),
+        ("noremat_chunk256k", dict(remat=False, recorded=False, pixel_chunk=1 << 18)),
         ("noremat_tileskip_chunk256k",
-         dict(remat=False, pixel_chunk=1 << 18, tile_skip=16384)),
+         dict(remat=False, recorded=False, pixel_chunk=1 << 18, tile_skip=16384)),
         ("dots_chunk512k",
-         dict(remat=True, pixel_chunk=1 << 19, remat_policy="dots")),
+         dict(remat=True, recorded=False, pixel_chunk=1 << 19, remat_policy="dots")),
         ("fusedattrs_remat_chunk512k",
-         dict(remat=True, pixel_chunk=1 << 19, fused_attrs=True)),
+         dict(remat=True, recorded=False, pixel_chunk=1 << 19, fused_attrs=True)),
         ("remat_tileskip64k_chunk512k",
-         dict(remat=True, pixel_chunk=1 << 19, tile_skip=1 << 16)),
+         dict(remat=True, recorded=False, pixel_chunk=1 << 19, tile_skip=1 << 16)),
+        ("remat_tileskip256k_chunk512k",
+         dict(remat=True, recorded=False, pixel_chunk=1 << 19, tile_skip=1 << 18)),
         ("recorded_chunk512k",
          dict(remat=False, recorded=True, pixel_chunk=1 << 19)),
         ("recorded_chunk1m",
