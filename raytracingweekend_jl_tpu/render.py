@@ -103,7 +103,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     fused_attrs: bool = False,
                     remat_policy: str | None = None,
                     tile_skip: int = 0,
-                    recorded: bool = False) -> jnp.ndarray:
+                    recorded: bool = False,
+                    recorded_stage: tuple | None = None) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -187,9 +188,19 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
         elif recorded:
             # Recorded-path custom VJP: no remat recompute, sweep-free
             # backward (ops/grad_trace.py) — the production grad path.
-            from .ops.grad_trace import trace_recorded
-            radiance = trace_recorded(scene, origin, direction, trace_key,
-                                      max_depth, tmin, None)
+            # recorded_stage=(B, div): opt-in staged variant — tail bounces
+            # >= B run at width R//div over the compacted survivors (see the
+            # budget contract in ops/grad_trace.py).
+            if recorded_stage is not None:
+                from .ops.grad_trace import trace_recorded_staged
+                stage_b, stage_div = recorded_stage
+                radiance, _ = trace_recorded_staged(
+                    scene, origin, direction, trace_key, max_depth, tmin,
+                    None, stage_b, max(origin.shape[0] // stage_div, 1))
+            else:
+                from .ops.grad_trace import trace_recorded
+                radiance = trace_recorded(scene, origin, direction, trace_key,
+                                          max_depth, tmin, None)
         else:
             radiance = trace(scene, origin, direction, trace_key,
                              max_depth=max_depth, tmin=tmin, remat=remat,
@@ -204,7 +215,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
                                    "persistent", "fused_attrs", "remat_policy",
-                                   "tile_skip", "recorded"))
+                                   "tile_skip", "recorded", "recorded_stage"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -213,12 +224,13 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   fused_attrs: bool = False,
                   remat_policy: str | None = None,
                   tile_skip: int = 0,
-                  recorded: bool = False) -> jnp.ndarray:
+                  recorded: bool = False,
+                  recorded_stage: tuple | None = None) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
-                          tile_skip, recorded)
+                          tile_skip, recorded, recorded_stage)
     return acc / n_samples
 
 
@@ -232,7 +244,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     fused_attrs: bool = False,
                     remat_policy: str | None = None,
                     tile_skip: int = 0,
-                    recorded: bool = False) -> jnp.ndarray:
+                    recorded: bool = False,
+                    recorded_stage: tuple | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -255,7 +268,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             tmin, remat, float(np.float32(W)), float(np.float32(H)),
                             compact, spp_pass, persistent,
                             fused_attrs=fused_attrs, remat_policy=remat_policy,
-                            tile_skip=tile_skip, recorded=recorded)
+                            tile_skip=tile_skip, recorded=recorded,
+                            recorded_stage=recorded_stage)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -273,7 +287,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 float(np.float32(W)), float(np.float32(H)), compact, spp_pass,
                 persistent, pixel_start=jnp.int32(c * pixel_chunk),
                 fused_attrs=fused_attrs, remat_policy=remat_policy,
-                tile_skip=tile_skip, recorded=recorded))
+                tile_skip=tile_skip, recorded=recorded,
+                recorded_stage=recorded_stage))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -85,6 +85,15 @@ def main() -> None:
          dict(remat=False, recorded=True, pixel_chunk=1 << 20)),
         ("recorded_full",
          dict(remat=False, recorded=True, pixel_chunk=None)),
+        ("staged_b4_div4_chunk1m",
+         dict(remat=False, recorded=True, pixel_chunk=1 << 20,
+              recorded_stage=(4, 4))),
+        ("staged_b3_div2_chunk1m",
+         dict(remat=False, recorded=True, pixel_chunk=1 << 20,
+              recorded_stage=(3, 2))),
+        ("staged_b2_div2_chunk1m",
+         dict(remat=False, recorded=True, pixel_chunk=1 << 20,
+              recorded_stage=(2, 2))),
     ]
     if args.quick:
         configs = configs[:1]

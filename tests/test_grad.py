@@ -178,3 +178,42 @@ def test_recorded_matches_remat_gradients():
         # float32 replay linearizes at recorded states that differ from the
         # sweep's by ulps; allow small absolute noise on tiny gradients.
         np.testing.assert_allclose(a, b, atol=2e-6 + 1e-3 * scale, err_msg=f)
+
+
+def test_grad_recorded_staged_matches_fd():
+    # Staged recorded path (compacted tail bounces, ops/grad_trace.py): FD of
+    # the SAME program must match AD — the tail stream differs from the
+    # unstaged path (valid estimator), but fwd and bwd are self-consistent.
+    with jax.enable_x64(True):
+        dtype = jnp.float64
+        scene = small_scene(dtype)
+        cam = default_camera(dtype=dtype)
+        target = jnp.zeros((18, 32, 3), dtype)
+        kwargs = dict(image_width=32, n_samples=2, seed=7, recorded=True,
+                      remat=False, recorded_stage=(4, 4))
+
+        loss, grads = render_grads(scene, cam, target, **kwargs)
+        g_ad = np.asarray(grads.albedo)[0, 0]
+
+        def loss_at(delta):
+            arr = np.asarray(scene.albedo).copy()
+            arr[0, 0] += delta
+            s2 = scene._replace(albedo=jnp.asarray(arr, dtype))
+            return float(render_loss(s2, cam, target, **kwargs))
+
+        eps = 1e-4
+        g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+        np.testing.assert_allclose(g_ad, g_fd, rtol=1e-4, atol=1e-9)
+
+
+def test_recorded_staged_radiance_statistical():
+    # Staged vs unstaged recorded primal: different tail streams, same
+    # integral.
+    scene = scene_2_spheres()
+    cam = t_default_cam()
+    a = np.asarray(render_radiance(scene, cam, 64, 8, seed=3, recorded=True))
+    b = np.asarray(render_radiance(scene, cam, 64, 8, seed=3, recorded=True,
+                                   recorded_stage=(4, 4)))
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert np.abs(a - b).mean() < 0.05
