@@ -130,8 +130,9 @@ def trace(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
         recompute them; None rematerialises everything.
       tile_skip: when > 0, the wavefront is processed in tiles of this many
         rays, each bounce guarded by a per-tile scalar ``lax.cond`` on an
-        any-alive reduction — fully-dead tiles (sky regions die at bounce 1;
-        ~45% of all sweeps on the flagship) cost nothing, in the forward, the
+        any-alive reduction — fully-dead tiles (pixel-coherent sky regions
+        die at bounce 1; flagship mean path length is 3.15 of 16, so most
+        late-bounce tiles are dead) cost nothing, in the forward, the
         remat recompute, AND the transposed backward, because ``cond``
         transposes to a cond. Unlike ``trace_compacted`` this stays
         reverse-differentiable (fixed-trip ``fori_loop``, no sort, no
@@ -261,8 +262,9 @@ def trace_compacted(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,
     grad path uses :func:`trace` (remat=True). The combination replaces the
     reference's dynamic recursion exit (src/ray_color.jl:31), which a
     fixed-trip SIMD wavefront cannot express per lane. Flagship-scene mean
-    path length is ~5.3 of 16 bounces (SURVEY.md §6 derivation measured here),
-    bounding the ideal gain at ~3x.
+    path length is 3.15 of 16 bounces (measured via ``trace_occupancy``,
+    t_cam1; alive fractions [1, .84, .37, .22, .14, ...]), bounding the
+    ideal gain at ~5x.
     """
     dtype = origin.dtype
     R0 = origin.shape[0]
@@ -361,8 +363,8 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
     """Persistent-wavefront renderer: radiance *sum* ``[n_pix,3]`` over
     ``n_samples`` samples per pixel.
 
-    The fixed-depth wavefront (:func:`trace`) wastes ~2/3 of its sweeps on
-    dead lanes (flagship mean path length 5.3 of 16 bounces), and generic
+    The fixed-depth wavefront (:func:`trace`) wastes ~4/5 of its sweeps on
+    dead lanes (flagship mean path length 3.15 of 16 bounces), and generic
     compaction pays more in sort/copy traffic than it recovers. This is the
     TPU-shaped fix: every lane is *pinned to its pixel* and, the moment its
     ray terminates (sky hit or depth exhaustion), the SAME lane immediately
