@@ -217,3 +217,33 @@ def test_recorded_staged_radiance_statistical():
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.01
     assert np.abs(a - b).mean() < 0.05
+
+
+def test_recorded_staged_budget_contract():
+    # Over-budget tail stage (stage width < alive count at B): overflow lanes
+    # truncate at B per the documented contract — no crash, radiance only
+    # loses the truncated tails, and the returned count exposes the overflow.
+    import jax
+    from raytracingweekend_jl_tpu.render import pixel_coords
+    from raytracingweekend_jl_tpu.camera import get_rays
+    from raytracingweekend_jl_tpu.ops.grad_trace import trace_recorded_staged, trace_recorded
+    from raytracingweekend_jl_tpu import rng as rngmod, scene_diel_spheres_hollow, hollow_glass_cam
+
+    scene = scene_diel_spheres_hollow()  # glass => long paths, high alive@B
+    cam = hollow_glass_cam()
+    u, v = pixel_coords(48, 27)
+    key = jax.random.PRNGKey(1)
+    o, d = get_rays(cam, u, v, rngmod.purpose_key(key, rngmod.LENS))
+    tk = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
+
+    full = np.asarray(trace_recorded(scene, o, d, tk))
+    rad, count = trace_recorded_staged(scene, o, d, tk, 16, 1e-4, None, 2, 64)
+    rad = np.asarray(rad)
+    assert int(count) > 64  # the budget IS exceeded in this configuration
+    assert np.isfinite(rad).all()
+    # Truncation only removes light: nowhere brighter beyond float noise, and
+    # mean strictly below the untruncated render.
+    # Truncation removes the overflow lanes' tail light: mean strictly below
+    # the untruncated render. (Per-pixel comparison is not meaningful — the
+    # tail stage draws a different positional stream than the unstaged path.)
+    assert rad.mean() < full.mean()
