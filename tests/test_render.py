@@ -176,3 +176,32 @@ def test_f32_matches_f64_oracle_bounded():
     det = np.abs(d32.astype(np.float64) - d64)
     assert det.max() < 2e-4, det.max()          # deterministic: float error only
     assert abs(h32.mean() - h64.mean()) < 5e-3  # stochastic: same integral
+
+
+def test_strided_dispatch_helpers():
+    from raytracingweekend_jl_tpu.render import (strided_k_for,
+                                                 strided_sample_groups_for,
+                                                 STRIDED_MIN_LANES)
+    # Full image: k capped at 64, no sample folding.
+    assert strided_k_for(1920 * 1080) == 63  # 2073600 // 32768
+    assert strided_sample_groups_for(1920 * 1080, 1000) == 1
+    # Small tiles: k collapses to 1 and the sample dimension folds to the
+    # largest divisor within ~4x the lane floor.
+    assert strided_k_for(8192) == 1
+    m = strided_sample_groups_for(8192, 8)
+    assert m == 8 and 8192 * m <= 4 * STRIDED_MIN_LANES * 8
+    assert strided_sample_groups_for(20000, 8) == 4
+    # Degenerate inputs stay sane.
+    assert strided_sample_groups_for(1, 1) == 1
+    assert strided_k_for(1) == 1
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    import os
+    from raytracingweekend_jl_tpu.utils import cache
+    monkeypatch.setenv("RTW_COMPILATION_CACHE", str(tmp_path / "xla"))
+    path = cache.enable_compilation_cache()
+    assert path.endswith("xla") and os.path.isdir(path)
+    assert cache.enable_compilation_cache() == path  # idempotent
+    monkeypatch.setenv("RTW_NO_CACHE", "1")
+    assert cache.enable_compilation_cache() == ""  # opt-out
