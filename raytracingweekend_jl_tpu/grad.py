@@ -17,6 +17,7 @@ frontiers in HBM.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -29,6 +30,34 @@ from .scene import Scene
 
 #: Fields of :class:`Scene` that are differentiable parameters.
 DIFF_FIELDS = ("center", "radius", "albedo", "fuzz", "ir")
+
+#: HBM budget (bytes) for the recorded path's per-bounce records; env-tunable.
+#: v5e has 16 GB — half is left for wavefront state, VJP buffers, and the
+#: scene/one-hot intermediates.
+RECORD_HBM_BUDGET = int(float(os.environ.get("RTW_RECORD_HBM_GB", "8")) * 2**30)
+
+#: Per-ray-per-bounce record cost: 12 floats (org, dir, thr, t) + index +
+#: 2 bools, f32-dominated, doubled for the reverse scan's cotangent buffers.
+_RECORD_BYTES_PER_RAY_BOUNCE = 12 * 4 * 2 + 8
+
+
+def auto_pixel_chunk(n_pix: int, max_depth: int,
+                     budget: int | None = None) -> int | None:
+    """Pixel chunk that keeps the recorded-path residuals inside HBM.
+
+    The recorded integrator (ops/grad_trace.py) stashes ~12 floats per ray per
+    bounce; a flagship-resolution ``render_grads`` with default args must not
+    OOM just because the caller didn't read a docstring (the round-2 contract
+    was implicit). Returns ``None`` when the whole image fits, else the
+    largest lane-aligned chunk within the budget.
+    """
+    budget = RECORD_HBM_BUDGET if budget is None else budget
+    r_max = budget // (_RECORD_BYTES_PER_RAY_BOUNCE * max(max_depth, 1))
+    if n_pix <= r_max:
+        return None
+    # Chunks are padded to equal size by render_radiance; keep them
+    # lane-aligned (8192 = one (64,128) Pallas block).
+    return max(8192, (r_max // 8192) * 8192)
 
 
 class SceneGrads(NamedTuple):
@@ -63,8 +92,14 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     ``recorded=False, remat=True`` to use the latter). At flagship sizes pass
     ``pixel_chunk=1<<20`` so per-bounce path records (~12 floats/ray/bounce)
     stay within HBM."""
-    kwargs.setdefault("recorded", True)
+    # An explicit remat=True without recorded= selects the XLA-transpose
+    # path; otherwise the recorded integrator is the default.
+    kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
+    if kwargs["recorded"] and "pixel_chunk" not in kwargs:
+        kwargs["pixel_chunk"] = auto_pixel_chunk(
+            target.shape[0] * image_width,
+            kwargs.get("max_depth", 16))
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

@@ -276,6 +276,10 @@ def _record_forward_staged(scene, origin, direction, key, max_depth, tmin,
     dtype = origin.dtype
     R = origin.shape[0]
     R2 = R2 or R // 4
+    if not 1 <= R2 <= R:
+        raise ValueError(
+            f"stage_width={R2} must be in [1, R={R}] (0 selects R//4; "
+            f"R < 4 makes that default degenerate — pass it explicitly)")
     B = min(B, max_depth)
     intersect = _pick_intersector(use_pallas)
     body = _bounce_record_body(scene, intersect, key, tmin, dtype)

@@ -138,6 +138,20 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
         # kernel in interpret mode — lets tests drive the exact production
         # dispatch (shard_map -> strided tiles) without a TPU.
         force = bool(os.environ.get("RTW_FORCE_STRIDED_INTERPRET"))
+        # Small direct renders are LAUNCH-bound, not throughput-bound: route
+        # them to the single-dispatch inline kernel (whole render = one
+        # pallas_call; see ops/pallas/inline_kernel.py). Shard/chunk tiles
+        # (pixel_start set) keep the strided production path.
+        if on_tpu and not force and pixel_start is None \
+                and not os.environ.get("RTW_DISABLE_INLINE"):
+            n_pix = u.shape[0]
+            small = n_pix <= 65536 or (n_pix <= 131072
+                                       and scene.n_spheres <= 64)
+            if small:
+                from .ops.pallas.inline_kernel import render_inline_sum
+                return render_inline_sum(scene, cam, u, v, key, n_samples,
+                                         sample_offset, max_depth, tmin,
+                                         f32_w, f32_h)
         if on_tpu or force:
             n_pix = u.shape[0]
             full_image = n_pix == int(f32_w) * int(f32_h)
@@ -194,9 +208,23 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             if recorded_stage is not None:
                 from .ops.grad_trace import trace_recorded_staged
                 stage_b, stage_div = recorded_stage
-                radiance, _ = trace_recorded_staged(
+                stage_width = max(origin.shape[0] // stage_div, 1)
+                radiance, alive_count = trace_recorded_staged(
                     scene, origin, direction, trace_key, max_depth, tmin,
-                    None, stage_b, max(origin.shape[0] // stage_div, 1))
+                    None, stage_b, stage_width)
+                # Budget contract (ops/grad_trace.py): survivors beyond
+                # stage_width at stage_bounce get their tails truncated,
+                # silently biasing image AND gradients. Surface it.
+                overflow = alive_count > stage_width
+                jax.lax.cond(
+                    overflow,
+                    lambda c: jax.debug.print(
+                        "WARNING trace_recorded_staged: {} lanes alive at "
+                        "stage bounce exceed stage_width={} — overflow tails "
+                        "truncated (biased radiance/gradients); raise "
+                        "stage_width or lower stage_bounce", c,
+                        stage_width),
+                    lambda c: None, alive_count)
             else:
                 from .ops.grad_trace import trace_recorded
                 radiance = trace_recorded(scene, origin, direction, trace_key,

@@ -138,7 +138,7 @@ def render_checkpointed(scene: Scene, cam: Camera, image_width: int,
                 break
             except Exception as e:  # noqa: BLE001 — device faults are opaque
                 for ph in ("trace", "fetch"):
-                    timer._t0.pop(ph, None)  # drop the failed attempt's timer
+                    timer.discard(ph)  # drop the failed attempt's timer
                 if attempt >= max_retries:
                     raise
                 if progress:

@@ -47,5 +47,9 @@ class PhaseTimer:
     def stop(self, phase: str) -> None:
         self.totals[phase] = self.totals.get(phase, 0.0) + time.time() - self._t0.pop(phase)
 
+    def discard(self, phase: str) -> None:
+        """Drop an open timer without accumulating (e.g. a failed attempt)."""
+        self._t0.pop(phase, None)
+
     def as_dict(self) -> dict:
         return {k: round(v, 4) for k, v in sorted(self.totals.items())}
