@@ -34,12 +34,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable the forward-only compacted integrator when the "
                         "persistent one is disabled (default matches "
                         "RenderConfig.compact)")
+    p.add_argument("--no-compact", dest="no_compact", action="store_true",
+                   help="deprecated alias (compaction is already off by "
+                        "default); kept so pre-round-2 invocations still parse")
     p.add_argument("--no-persistent", action="store_true",
                    help="disable the persistent-wavefront integrator")
     p.add_argument("--rays-per-pass", type=int, default=d.rays_per_pass)
     p.add_argument("--mesh-tiles", type=int, default=d.mesh_tiles)
     p.add_argument("--mesh-samples", type=int, default=d.mesh_samples)
     p.add_argument("--tile-size", type=int, default=d.tile_size)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process run: auto-init jax.distributed (pod "
+                        "metadata / SLURM / coordinator env), mesh over every "
+                        "process's devices, per-host strip IO; all processes "
+                        "run this same command")
+    p.add_argument("--strip-dir", default=d.strip_dir,
+                   help="directory for per-host image strips "
+                        "(default: <output>.strips)")
     p.add_argument("--spp-chunk", type=int, default=d.spp_chunk,
                    help=">0 enables chunked rendering with checkpoints")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
@@ -50,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> RenderConfig:
+    if getattr(args, "no_compact", False) and args.compact:
+        raise SystemExit("--compact and --no-compact are mutually exclusive")
     return RenderConfig(
         scene=args.scene, camera=args.camera, image_width=args.width,
         image_height=args.height, n_samples=args.spp, max_depth=args.depth,
@@ -58,7 +71,8 @@ def config_from_args(args) -> RenderConfig:
         rays_per_pass=args.rays_per_pass,
         mesh_tiles=args.mesh_tiles, mesh_samples=args.mesh_samples,
         tile_size=args.tile_size, spp_chunk=args.spp_chunk,
-        checkpoint_path=args.checkpoint, output=args.output)
+        checkpoint_path=args.checkpoint, output=args.output,
+        multihost=args.multihost, strip_dir=args.strip_dir)
 
 
 def print_occupancy(cfg: RenderConfig) -> None:
@@ -101,7 +115,34 @@ def run(cfg: RenderConfig) -> dict:
 
     t0 = time.time()
     phases = None
-    if cfg.spp_chunk > 0:
+    if cfg.multihost:
+        import jax
+        from .parallel import multihost
+        from .parallel.shard import render_radiance_sharded
+        try:
+            multihost.initialize()  # auto-detect cluster env; no-op single-proc
+        except (RuntimeError, ValueError) as e:
+            # Mis-detected metadata must degrade to single-process, not die.
+            print(json.dumps({"multihost_init_skipped": repr(e)[:160]}))
+        mesh = multihost.make_multihost_mesh(n_samples_axis=cfg.mesh_samples)
+        H2 = cfg.image_height or image_height_for(cfg.image_width)
+        img_sharded = render_radiance_sharded(
+            scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
+            image_height=cfg.image_height, tile_size=cfg.tile_size,
+            max_depth=cfg.max_depth, tmin=cfg.tmin, seed=cfg.seed)
+        if jax.process_count() > 1:
+            # Per-host strip IO: each process writes only its own shard.
+            strip_dir = cfg.strip_dir or cfg.output + ".strips"
+            multihost.write_host_strip(img_sharded, H2, cfg.image_width,
+                                       cfg.tile_size, strip_dir)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("rtw_strips_written")
+            if jax.process_index() != 0:
+                return {"proc": jax.process_index(), "strips": strip_dir}
+            linear = multihost.assemble_strips(strip_dir)
+        else:
+            linear = np.asarray(img_sharded)
+    elif cfg.spp_chunk > 0:
         from .utils.checkpoint import render_checkpointed
         from .utils.metrics import PhaseTimer
         timer = PhaseTimer()

@@ -35,6 +35,11 @@ class RenderConfig:
     mesh_samples: int = 1               # devices on the sample axis
     tile_size: int = 8192               # pixels per shard tile
 
+    # Multi-host: auto-init jax.distributed, mesh over ALL processes'
+    # devices, per-host strip IO (parallel/multihost.py)
+    multihost: bool = False
+    strip_dir: str | None = None        # default: "<output>.strips"
+
     # Checkpointing
     spp_chunk: int = 0                  # 0 = no chunking
     checkpoint_path: str | None = None

@@ -22,6 +22,7 @@ def main() -> None:
     proc_id = int(sys.argv[1])
     n_procs = int(sys.argv[2])
     coord = sys.argv[3]
+    strip_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
     import jax
 
@@ -50,6 +51,13 @@ def main() -> None:
     full = np.asarray(multihost_utils.process_allgather(img, tiled=True))
 
     start, stop = multihost.host_local_rows(H, W, tile_size=tile)
+
+    # Strip IO: each process writes ONLY its own shard's pixels to disk (no
+    # cross-host gather); the parent reassembles and checks against the
+    # allgathered image.
+    if strip_dir:
+        s2, p2 = multihost.write_host_strip(img, H, W, tile, strip_dir)
+        assert 0 <= s2 < p2 <= H * W
 
     # Train step: the scalar loss is fully replicated; producing it required
     # the gradient all-reduce to cross the process boundary.

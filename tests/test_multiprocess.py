@@ -30,7 +30,7 @@ def _free_port() -> int:
     return port
 
 
-def _launch(n_procs: int, timeout: int = 300):
+def _launch(n_procs: int, timeout: int = 300, strip_dir: str | None = None):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     # 2 virtual CPU devices per process; drop any conflicting device-count
@@ -39,8 +39,9 @@ def _launch(n_procs: int, timeout: int = 300):
              if "host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
     env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
+    extra = [strip_dir] if strip_dir else []
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), str(n_procs), coord],
+        [sys.executable, WORKER, str(i), str(n_procs), coord] + extra,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(n_procs)]
     outs = []
@@ -61,8 +62,9 @@ def _launch(n_procs: int, timeout: int = 300):
     return outs
 
 
-def test_two_process_distributed_render_and_train():
-    outs = _launch(2)
+def test_two_process_distributed_render_and_train(tmp_path):
+    strip_dir = str(tmp_path / "strips")
+    outs = _launch(2, strip_dir=strip_dir)
     by_proc = {o["proc"]: o for o in outs}
     assert set(by_proc) == {0, 1}
 
@@ -103,5 +105,12 @@ def test_two_process_distributed_render_and_train():
         image_height=36, tile_size=256, seed=11))
     got = np.asarray(by_proc[0]["image"], dtype=np.float32)
     np.testing.assert_array_equal(got, ref)
+
+    # Strip IO end-to-end: each process wrote only its host-local pixels;
+    # the reassembled image must equal the reference bitwise.
+    from raytracingweekend_jl_tpu.parallel.multihost import assemble_strips
+    assembled = assemble_strips(strip_dir)
+    np.testing.assert_array_equal(assembled.astype(np.float32),
+                                  ref.astype(np.float32))
 
 
