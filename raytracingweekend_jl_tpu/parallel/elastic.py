@@ -1,28 +1,31 @@
-"""Elastic tile scheduler: per-tile dispatch, retry, and device re-dispatch.
+"""Elastic tile scheduler: concurrent per-device dispatch, retry, quarantine.
 
 The reference dies with its process on any fault (SURVEY.md §5 "Failure
 detection: None"; a crash loses the whole fork-join render,
 src/render.jl:23-42). The sample-axis story here is chunk retry + durable
 checkpoints (utils/checkpoint.py). This module adds the *pixel-axis* story
 SURVEY §5 marks as the stretch goal: the image is decomposed into independent
-pixel tiles, each dispatched to a specific device as its own computation —
-so a transient tile failure retries in place, and a device that keeps
-failing is quarantined with its pending tiles re-dispatched to the healthy
-survivors. The render completes (degraded throughput, same image) as long as
-one device stays alive.
+pixel tiles; one worker thread per device pulls tiles from a shared queue —
+so N healthy devices render N tiles concurrently (in-flight work is bounded
+at one tile per device), a transient tile failure retries on whichever device
+next picks it up, and a device that keeps failing is quarantined (its worker
+exits; pending tiles drain through the healthy survivors). The render
+completes as long as one device stays alive.
 
 Contrast with parallel/shard.py: the shard_map driver is ONE jitted program
 over the whole mesh — maximal throughput, but a single device fault kills
 the step. The elastic driver trades a little dispatch overhead for fault
 isolation; use it for long unattended renders on flaky capacity. RNG streams
 are keyed by global tile id exactly like the shard driver, so the image is
-bit-identical no matter which device ends up rendering which tile, or how
-many retries happened.
+bit-identical no matter which device ends up rendering which tile, how the
+workers interleave, or how many retries happened (tests/test_elastic.py
+asserts both the concurrency speedup and the bitwise invariance).
 """
 
 from __future__ import annotations
 
 import json
+import threading
 import time
 
 import jax
@@ -55,11 +58,11 @@ def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
                             max_depth: int = 16, tmin: float = 1e-4,
                             devices=None, max_retries: int = 2,
                             progress: bool = False) -> jnp.ndarray:
-    """Fault-isolated mean radiance ``[H,W,3]``.
+    """Fault-isolated mean radiance ``[H,W,3]``, tiles fanned out over devices.
 
     Every tile is retried up to ``max_retries`` times; a device accumulating
-    ``DEVICE_FAILURE_LIMIT`` consecutive failures is dropped and its queue
-    redistributes over the remaining devices. Raises only when no healthy
+    ``DEVICE_FAILURE_LIMIT`` consecutive failures is dropped and its pending
+    work drains through the remaining devices. Raises only when no healthy
     device remains or a tile exhausts retries on a healthy device.
     """
     H = image_height if image_height is not None else image_height_for(image_width)
@@ -74,43 +77,75 @@ def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
     f32_w, f32_h = float(np.float32(W)), float(np.float32(H))
 
     devices = list(devices if devices is not None else jax.devices())
-    fail_streak = {d: 0 for d in devices}
     out = np.zeros((n_tiles * tile_size, 3), np.float64)
     queue = list(range(n_tiles))
     attempts: dict[int, int] = {}
+    fail_streak: dict = {d: 0 for d in devices}
+    fatal: list[BaseException] = []
+    in_progress = 0
+    cond = threading.Condition()
 
-    while queue:
-        if not devices:
-            raise RuntimeError("no healthy devices left for elastic render")
-        t_id = queue.pop(0)
-        dev = devices[t_id % len(devices)]
-        sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
-        # Same stream derivation as parallel/shard.py: global tile id keys the
-        # tile, so placement/retries never change the image.
-        tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
-        try:
+    def emit(rec: dict) -> None:
+        if progress:
+            print(json.dumps(rec), flush=True)
+
+    def worker(dev) -> None:
+        nonlocal in_progress
+        while True:
+            with cond:
+                while not queue and in_progress > 0 and not fatal:
+                    cond.wait(0.05)
+                if fatal or not queue:
+                    return  # done, or another worker hit a fatal error
+                t_id = queue.pop(0)
+                in_progress += 1
+            sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
+            # Same stream derivation as parallel/shard.py: the GLOBAL tile id
+            # keys the tile, so placement/interleaving/retries never change
+            # the image.
+            tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
             t0 = time.time()
-            acc = _run_tile(scene, cam, u[sl], v[sl], tile_key, n_samples,
-                            max_depth, tmin, f32_w, f32_h,
-                            jnp.int32(t_id * tile_size), dev)
-            fail_streak[dev] = 0
-            out[sl] = acc
-            if progress:
-                print(json.dumps({"tile": t_id, "device": str(dev),
-                                  "s": round(time.time() - t0, 3)}), flush=True)
-        except Exception as e:  # noqa: BLE001 — device faults are opaque
-            attempts[t_id] = attempts.get(t_id, 0) + 1
-            fail_streak[dev] += 1
-            if fail_streak[dev] >= DEVICE_FAILURE_LIMIT:
-                devices.remove(dev)  # quarantine; its tiles re-dispatch
-                if progress:
-                    print(json.dumps({"quarantined": str(dev)}), flush=True)
-            elif attempts[t_id] > max_retries:
-                raise
-            queue.append(t_id)  # re-dispatch (possibly on another device)
-            if progress:
-                print(json.dumps({"tile": t_id, "retry": attempts[t_id],
-                                  "error": repr(e)[:120]}), flush=True)
+            try:
+                acc = _run_tile(scene, cam, u[sl], v[sl], tile_key, n_samples,
+                                max_depth, tmin, f32_w, f32_h,
+                                jnp.int32(t_id * tile_size), dev)
+            except Exception as e:  # noqa: BLE001 — device faults are opaque
+                with cond:
+                    in_progress -= 1
+                    attempts[t_id] = attempts.get(t_id, 0) + 1
+                    fail_streak[dev] += 1
+                    quarantined = fail_streak[dev] >= DEVICE_FAILURE_LIMIT
+                    if not quarantined and attempts[t_id] > max_retries:
+                        fatal.append(e)  # retries exhausted on a healthy device
+                    else:
+                        queue.append(t_id)  # re-dispatch (any healthy worker)
+                        emit({"tile": t_id, "retry": attempts[t_id],
+                              "error": repr(e)[:120]})
+                    cond.notify_all()
+                if quarantined:
+                    emit({"quarantined": str(dev)})
+                    return
+                if fatal:
+                    return
+                continue
+            out[sl] = acc  # disjoint slices: no lock needed for the write
+            with cond:
+                in_progress -= 1
+                fail_streak[dev] = 0
+                cond.notify_all()
+            emit({"tile": t_id, "device": str(dev),
+                  "s": round(time.time() - t0, 3)})
 
+    threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+               for d in devices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    if fatal:
+        raise fatal[0]
+    if queue:
+        raise RuntimeError("no healthy devices left for elastic render")
     return jnp.asarray((out[:n_pix] / n_samples).reshape(H, W, 3),
                        cam.origin.dtype)
