@@ -63,16 +63,22 @@ def child(spp_chunk: int, n_chunks: int) -> None:
     run_chunk(0)  # compile + warm
     warm_s = time.time() - t0
 
-    t0 = time.time()
+    chunk_times = []
     for c in range(1, n_chunks + 1):
+        t0 = time.time()
         run_chunk(c * spp_chunk)
-    steady_s = (time.time() - t0) / n_chunks
+        chunk_times.append(time.time() - t0)
+    # Reference methodology is @benchmark MINIMA (src/proto/proto.jl:197-200);
+    # report the min as steady state and keep the spread (tunnel jitter).
+    steady_s = min(chunk_times)
 
     W, H = 1920, 1080
     paths_per_chunk = W * H * spp_chunk
     mpaths = paths_per_chunk / steady_s / 1e6
     print(json.dumps({
         "mpaths": mpaths, "warm_s": warm_s, "steady_s": steady_s,
+        "steady_mean_s": sum(chunk_times) / len(chunk_times),
+        "steady_max_s": max(chunk_times),
         "device": str(jax.devices()[0]),
     }), flush=True)
 
@@ -124,6 +130,8 @@ def main() -> None:
         "baseline_flagship_wallclock_s": 1282.4,
         "spp_chunk": used[0],
         "warm_s": round(result["warm_s"], 1),
+        "steady_mean_s": round(result.get("steady_mean_s", 0.0), 3),
+        "steady_max_s": round(result.get("steady_max_s", 0.0), 3),
         "device": result.get("device", "unknown"),
     }
     # Attach the best measured flagship gradient-step throughput

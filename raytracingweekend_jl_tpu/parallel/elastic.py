@@ -65,6 +65,8 @@ def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
     work drains through the remaining devices. Raises only when no healthy
     device remains or a tile exhausts retries on a healthy device.
     """
+    from ..scene import trim_scene
+    scene = trim_scene(scene)
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
     n_pix = W * H

@@ -282,6 +282,12 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
     """
     if dtype is None:
         dtype = cam.origin.dtype
+    # Drop trailing zero-radius padding (bitwise no-op, scene.trim_scene):
+    # make_scene pads every scene to SPHERE_PAD=128, so without this a
+    # 2-sphere render sweeps 64x dead spheres per bounce. No-op under
+    # autodiff tracers (gradient pytrees keep the caller's shapes).
+    from .scene import trim_scene
+    scene = trim_scene(scene)
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
     u, v = pixel_coords(W, H, dtype=dtype)

@@ -57,6 +57,31 @@ class Scene(NamedTuple):
 _PAD_DISTANCE = 1e4
 
 
+def trim_scene(scene: Scene, multiple: int = 8) -> Scene:
+    """Drop trailing zero-radius padding spheres (bitwise-safe: a padding
+    sphere's discriminant is always negative, so removing it changes no hit,
+    no RNG draw, and no radiance bit). Keeps ``N`` a multiple of ``multiple``
+    for the sweep kernels' unrolled loops.
+
+    Only usable with CONCRETE scenes (returns the input unchanged when any
+    leaf is a tracer — e.g. under ``jax.grad``, where the gradient pytree
+    must keep the caller's shapes). Forward drivers call this so a 2-sphere
+    scene does not pay a 128-sphere sweep (SPHERE_PAD) per bounce.
+    """
+    import jax
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in scene):
+        return scene
+    r = np.asarray(scene.radius)
+    nz = np.flatnonzero(r != 0)
+    n = int(nz[-1]) + 1 if nz.size else 1
+    n = min(scene.n_spheres, max(multiple, -(-n // multiple) * multiple))
+    if n == scene.n_spheres:
+        return scene
+    return Scene(center=scene.center[:n], radius=scene.radius[:n],
+                 albedo=scene.albedo[:n], fuzz=scene.fuzz[:n],
+                 ir=scene.ir[:n], mat=scene.mat[:n])
+
+
 def make_scene(spheres: list[dict], dtype=jnp.float32, pad_to: int | None = SPHERE_PAD) -> Scene:
     """Build a padded SoA :class:`Scene` from a list of sphere dicts.
 

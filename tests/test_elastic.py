@@ -28,7 +28,7 @@ def test_elastic_survives_persistent_device_fault(monkeypatch):
     scene = scene_2_spheres()
     cam = t_default_cam()
     clean = np.asarray(elastic.render_radiance_elastic(
-        scene, cam, 48, 2, tile_size=256, seed=4))
+        scene, cam, 48, 2, tile_size=64, seed=4))
 
     bad_dev = jax.devices()[1]
     real = elastic._run_tile
@@ -43,8 +43,13 @@ def test_elastic_survives_persistent_device_fault(monkeypatch):
                     ps, device)
 
     monkeypatch.setattr(elastic, "_run_tile", flaky)
+    # Two devices + many tiles so the faulty worker is guaranteed to pull
+    # work DEVICE_FAILURE_LIMIT times before the queue drains (with all 8
+    # concurrent workers and few tiles it may fault only once — healthy
+    # workers drain the re-queued tile first and its worker exits idle).
     img = np.asarray(elastic.render_radiance_elastic(
-        scene, cam, 48, 2, tile_size=256, seed=4))
+        scene, cam, 48, 2, tile_size=64, seed=4,
+        devices=jax.devices()[:2]))
     # The faulty device fired, was quarantined, and its tiles were
     # re-dispatched — the image is BIT-identical to the clean run (tile-keyed
     # RNG makes placement immaterial).
