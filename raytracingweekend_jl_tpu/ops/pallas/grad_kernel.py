@@ -1,0 +1,625 @@
+"""Fused bounce-level record/replay kernels — the flagship gradient path.
+
+Round-2 measured the recorded-path gradient (ops/grad_trace.py) at 2.78
+Mpaths/s against a 51 Mpaths/s forward, and localized the gap to per-bounce
+XLA glue: the record phase lowers each bounce's shade into dozens of small
+fusions over the multi-hundred-MB wavefront, and the reverse scan's
+``jax.vjp`` of the bounce body does it again backwards (bench_history
+grad_step_* rows; staged compaction measured NEGATIVE because the glue, not
+dead-lane FLOPs, dominates). This module replaces both sides with ONE Pallas
+kernel each per bounce:
+
+- **record kernel** (`_record_shade_kernel`): the post-sweep bounce body —
+  sky, hit geometry, all three materials, masked state advance — in one VMEM
+  pass (the `_shade_core` math of the production forward kernel), which ALSO
+  writes this bounce's residual record (input origin/direction/throughput,
+  sweep t, alive mask, winning-sphere attribute rows) directly into the
+  ``[depth, ...]`` record buffers (in-place via input/output aliasing and a
+  scalar-prefetched bounce index), so the record phase costs one kernel +
+  one sweep + one one-hot fetch per bounce and no extra copies.
+
+- **replay kernel** (`_replay_bwd_kernel`): the HAND-WRITTEN adjoint of that
+  bounce body. It re-seeds the same per-(bounce, block) hardware PRNG stream
+  the record kernel used (counter-based replay — SURVEY.md §2.5's design is
+  what makes the redraws bit-identical), recomputes the forward intermediates
+  from the recorded state, and back-propagates the (origin, direction,
+  throughput) cotangent chain while emitting per-ray cotangent rows for the
+  winning sphere's (center, radius, albedo, fuzz, ir). The only non-kernel
+  work per backward bounce is one exact bf16-split MXU contraction that
+  scatter-adds those rows onto the sphere axis (the transpose of the one-hot
+  fetch trick, ops/materials._onehot_rows_exact).
+
+Gradient semantics match the recorded XLA path (ops/grad_trace.py): interior
+gradients, discrete events (winner, alive transitions, Schlick coin, material
+code, front-face) replayed as constants, hit distance differentiated through
+the implicit sphere equation at the recorded winner (same closed forms as the
+sweep kernel's VJP, intersect_kernel.py:153-175). The PRIMAL uses the
+hardware-PRNG scatter stream (like the persistent forward family), not the
+threefry stream of ``trace`` — images agree statistically, and the estimator
+is self-consistent under ``value_and_grad`` because record and replay share
+draws exactly. Validated in tests/test_grad_kernel.py against ``jax.vjp`` of
+a pure-JAX twin fed the same uniforms, and by finite differences.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..intersect import BIG
+from .intersect_kernel import LANES, _pad_rows
+from .shade_kernel import _shade_core, _uniforms, _gauss3, SHADE_ROWS
+
+#: Seed decorrelation constants (block vs bounce); replay MUST match record.
+_BLOCK_SEED_STRIDE = 40503
+
+
+def _seed_prng(seed_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0)
+                    * jnp.int32(_BLOCK_SEED_STRIDE))
+
+
+# ---------------------------------------------------------------------------
+# Record kernel: shade one bounce + write the bounce's residual record
+# ---------------------------------------------------------------------------
+
+def _record_shade_kernel(b_ref, seed_ref, *refs, max_depth: int,
+                         hw_prng: bool):
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    # Inputs: t, attrs10, state(13), rec(21, aliased — unread);
+    # outputs: state(13) + rec(21).
+    t_ref = refs[0]
+    attr_refs = refs[1:11]
+    st_in = refs[11:24]
+    out = refs[45:]
+    st_out = out[0:13]
+    rec_out = out[13:34]
+
+    if hw_prng:
+        _seed_prng(seed_ref)
+        u5 = _uniforms(t_ref.shape, 5)
+    else:
+        u5 = u5_ref[:]
+
+    ox, oy, oz = st_in[0][:], st_in[1][:], st_in[2][:]
+    dx, dy, dz = st_in[3][:], st_in[4][:], st_in[5][:]
+    tx, ty, tz = st_in[6][:], st_in[7][:], st_in[8][:]
+    rx, ry, rz = st_in[9][:], st_in[10][:], st_in[11][:]
+    af = st_in[12][:]
+    t = t_ref[:]
+    attrs_vals = tuple(a[:] for a in attr_refs)
+    active = af != 0
+
+    # Record the bounce INPUTS (what the replay kernel linearizes around).
+    for ref, val in zip(rec_out,
+                        (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, af)
+                        + attrs_vals):
+        ref[0] = val
+
+    (rx, ry, rz, hitm, _miss, px, py, pz, ndx, ndy, ndz,
+     aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz, dx, dy, dz,
+                                  tx, ty, tz, rx, ry, rz, active)
+
+    hf = hitm.astype(jnp.float32)
+    nhf = 1.0 - hf
+    vals = (hf * px + nhf * ox, hf * py + nhf * oy, hf * pz + nhf * oz,
+            hf * ndx + nhf * dx, hf * ndy + nhf * dy, hf * ndz + nhf * dz,
+            jnp.where(hitm, tx * aar, tx), jnp.where(hitm, ty * aag, ty),
+            jnp.where(hitm, tz * aab, tz),
+            rx, ry, rz, hitm.astype(jnp.int32))
+    for ref, val in zip(st_out, vals):
+        ref[:] = val
+
+
+def record_shade_step(state: tuple, rec: tuple, t, attrs10_planes,
+                      bounce, seed, max_depth: int,
+                      interpret: bool = False, u5=None):
+    """One record-phase bounce over padded planes. ``state`` = 13
+    [rows, LANES] planes (o3, d3, thr3, rad3, alive); ``rec`` = 21
+    [depth, rows, LANES] buffers, updated in place at slice ``bounce``."""
+    rows = state[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = u5 is None
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda i, b_ref, *_: (b_ref[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5]
+        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    n_state = 13
+    n_rec = 21
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=rng_specs + [spec] * (11 + n_state) + [rec_spec] * n_rec,
+        out_specs=[spec] * n_state + [rec_spec] * n_rec,
+    )
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), s.dtype)
+                   for s in state]
+                  + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rec])
+    base = 2 + len(rng_planes) + 11
+    aliases = {base + i: i for i in range(n_state)}
+    aliases.update({base + n_state + i: n_state + i for i in range(n_rec)})
+
+    outs = pl.pallas_call(
+        partial(_record_shade_kernel, max_depth=max_depth, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(bounce, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, t, *attrs10_planes, *state, *rec)
+    return tuple(outs[:n_state]), tuple(outs[n_state:])
+
+
+# ---------------------------------------------------------------------------
+# Replay kernel: hand-written adjoint of the recorded bounce
+# ---------------------------------------------------------------------------
+
+def _replay_bwd_kernel(b_ref, seed_ref, *refs, hw_prng: bool):
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    rec = refs[0:21]
+    grad3 = refs[21:24]
+    cot_in = refs[24:33]
+    out = refs[33:]
+    cot_out = out[0:9]
+    dattr_out = out[9:18]
+
+    if hw_prng:
+        _seed_prng(seed_ref)
+        u5 = _uniforms(rec[0].shape[1:], 5)
+    else:
+        u5 = u5_ref[:]
+
+    ox, oy, oz = rec[0][0], rec[1][0], rec[2][0]
+    dx, dy, dz = rec[3][0], rec[4][0], rec[5][0]
+    Tx, Ty, Tz = rec[6][0], rec[7][0], rec[8][0]
+    t = rec[9][0]
+    af = rec[10][0]
+    (acx, acy, acz, arr, aar, aag, aab, afz, air, amt) = \
+        tuple(r[0] for r in rec[11:21])
+    grx, gry, grz = grad3[0][:], grad3[1][:], grad3[2][:]
+    gox_, goy_, goz_ = cot_in[0][:], cot_in[1][:], cot_in[2][:]
+    gdx_, gdy_, gdz_ = cot_in[3][:], cot_in[4][:], cot_in[5][:]
+    gTx_, gTy_, gTz_ = cot_in[6][:], cot_in[7][:], cot_in[8][:]
+
+    active = af != 0
+    hit = t < jnp.float32(BIG)
+    hitm = hit & active
+    missm = active & ~hit
+    hf = hitm.astype(jnp.float32)
+    mf = missm.astype(jnp.float32)
+
+    # ---- recompute forward intermediates (mirror of _shade_core) ----
+    ts = jnp.where(hitm, t, 1.0)
+    px = ox + ts * dx
+    py = oy + ts * dy
+    pz = oz + ts * dz
+    inv_r = jnp.where(arr == 0, 0.0, 1.0 / jnp.where(arr == 0, 1.0, arr))
+    nox = (px - acx) * inv_r
+    noy = (py - acy) * inv_r
+    noz = (pz - acz) * inv_r
+    ddn = dx * nox + dy * noy + dz * noz
+    front = ddn < 0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nox * sgn, noy * sgn, noz * sgn
+    g0, g1, g2 = _gauss3(u5[0], u5[1], u5[2], u5[3])
+    gnorm = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
+    ux, uy, uz = g0 * gnorm, g1 * gnorm, g2 * gnorm
+    xi = u5[4]
+    # lambert
+    lx, ly, lz = nx + ux, ny + uy, nz + uz
+    lsq = lx * lx + ly * ly + lz * lz
+    degen = lsq < 1e-5
+    lno = jax.lax.rsqrt(jnp.maximum(lsq, 1e-20))
+    lamx = jnp.where(degen, nx, lx * lno)
+    lamy = jnp.where(degen, ny, ly * lno)
+    lamz = jnp.where(degen, nz, lz * lno)
+    # metal
+    dn = dx * nx + dy * ny + dz * nz
+    refx = dx - 2.0 * dn * nx
+    refy = dy - 2.0 * dn * ny
+    refz = dz - 2.0 * dn * nz
+    mxv = refx + afz * ux
+    myv = refy + afz * uy
+    mzv = refz + afz * uz
+    mno = jax.lax.rsqrt(jnp.maximum(mxv * mxv + myv * myv + mzv * mzv, 1e-20))
+    metx, mety, metz = mxv * mno, myv * mno, mzv * mno
+    # dielectric
+    safe_ir = jnp.where(air == 0, 1.0, air)
+    eta = jnp.where(front, 1.0 / safe_ir, safe_ir)
+    ct = jnp.minimum(-dn, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    cannot = eta * sin_t > 1.0
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    omc = 1.0 - ct
+    omc2 = omc * omc
+    schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+    choose_ref = cannot | (schlick > xi)
+    rpx = eta * (dx + ct * nx)
+    rpy = eta * (dy + ct * ny)
+    rpz = eta * (dz + ct * nz)
+    S = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
+    par = -jnp.sqrt(jnp.abs(S))
+    fx = rpx + par * nx
+    fy = rpy + par * ny
+    fz_ = rpz + par * nz
+    fno = jax.lax.rsqrt(jnp.maximum(fx * fx + fy * fy + fz_ * fz_, 1e-20))
+    frx, fry, frz = fx * fno, fy * fno, fz_ * fno
+    is_lam = amt == 0
+    is_met = amt == 1
+    is_diel = (~is_lam) & (~is_met)
+
+    # ---- adjoint ----
+    nhf = 1.0 - hf
+    # o' = hitm ? p : o ; d' = hitm ? nd : d ; T' = hitm ? T*A : T
+    gpx, gpy, gpz = hf * gox_, hf * goy_, hf * goz_
+    go_x, go_y, go_z = nhf * gox_, nhf * goy_, nhf * goz_
+    gndx, gndy, gndz = hf * gdx_, hf * gdy_, hf * gdz_
+    gd_x, gd_y, gd_z = nhf * gdx_, nhf * gdy_, nhf * gdz_
+    gTx = gTx_ * jnp.where(hitm, aar, 1.0)
+    gTy = gTy_ * jnp.where(hitm, aag, 1.0)
+    gTz = gTz_ * jnp.where(hitm, aab, 1.0)
+    gA_r, gA_g, gA_b = hf * gTx_ * Tx, hf * gTy_ * Ty, hf * gTz_ * Tz
+    # miss lanes banked rad += T * sky(d); sky = (1-0.5s, 1-0.3s, 1), s=0.5(dy+1)
+    sth = 0.5 * (dy + 1.0)
+    gTx = gTx + mf * grx * (1.0 - 0.5 * sth)
+    gTy = gTy + mf * gry * (1.0 - 0.3 * sth)
+    gTz = gTz + mf * grz
+    g_sth = mf * (grx * Tx * (-0.5) + gry * Ty * (-0.3))
+    gd_y = gd_y + 0.5 * g_sth
+
+    # route nd cotangent to the selected material branch
+    lamf = is_lam.astype(jnp.float32)
+    metf = is_met.astype(jnp.float32)
+    dief = is_diel.astype(jnp.float32)
+    glx_r, gly_r, glz_r = lamf * gndx, lamf * gndy, lamf * gndz
+    gmx_r, gmy_r, gmz_r = metf * gndx, metf * gndy, metf * gndz
+    gqx, gqy, gqz = dief * gndx, dief * gndy, dief * gndz
+
+    # lambert: lam = degen ? n : l * lno (u constant)
+    dotl = lamx * glx_r + lamy * gly_r + lamz * glz_r
+    ndegf = 1.0 - degen.astype(jnp.float32)
+    glx = ndegf * lno * (glx_r - lamx * dotl)
+    gly = ndegf * lno * (gly_r - lamy * dotl)
+    glz = ndegf * lno * (glz_r - lamz * dotl)
+    degf = degen.astype(jnp.float32)
+    gn_x = glx + degf * glx_r
+    gn_y = gly + degf * gly_r
+    gn_z = glz + degf * glz_r
+
+    # metal: met = m * mno; m = refl + fz * u
+    dotm = metx * gmx_r + mety * gmy_r + metz * gmz_r
+    gmx = mno * (gmx_r - metx * dotm)
+    gmy = mno * (gmy_r - mety * dotm)
+    gmz = mno * (gmz_r - metz * dotm)
+    gfz = ux * gmx + uy * gmy + uz * gmz
+    grefl_x, grefl_y, grefl_z = gmx, gmy, gmz
+
+    # dielectric select (coin/TIR detached)
+    crf = choose_ref.astype(jnp.float32)
+    grefl_x = grefl_x + crf * gqx
+    grefl_y = grefl_y + crf * gqy
+    grefl_z = grefl_z + crf * gqz
+    ncrf = 1.0 - crf
+    gfr_x, gfr_y, gfr_z = ncrf * gqx, ncrf * gqy, ncrf * gqz
+    # fr = f * fno
+    dotf = frx * gfr_x + fry * gfr_y + frz * gfr_z
+    gf_x = fno * (gfr_x - frx * dotf)
+    gf_y = fno * (gfr_y - fry * dotf)
+    gf_z = fno * (gfr_z - frz * dotf)
+    # f = rp + par * n
+    grp_x, grp_y, grp_z = gf_x, gf_y, gf_z
+    gpar = nx * gf_x + ny * gf_y + nz * gf_z
+    gn_x = gn_x + par * gf_x
+    gn_y = gn_y + par * gf_y
+    gn_z = gn_z + par * gf_z
+    # par = -sqrt(|S|)
+    sgnS = jnp.where(S >= 0, 1.0, -1.0)
+    gS = gpar * (-sgnS * 0.5
+                 * jax.lax.rsqrt(jnp.maximum(jnp.abs(S), 1e-12)))
+    # S = 1 - rp.rp
+    grp_x = grp_x - 2.0 * rpx * gS
+    grp_y = grp_y - 2.0 * rpy * gS
+    grp_z = grp_z - 2.0 * rpz * gS
+    # rp = eta * (d + ct * n)
+    geta = ((dx + ct * nx) * grp_x + (dy + ct * ny) * grp_y
+            + (dz + ct * nz) * grp_z)
+    gd_x = gd_x + eta * grp_x
+    gd_y = gd_y + eta * grp_y
+    gd_z = gd_z + eta * grp_z
+    gct = eta * (nx * grp_x + ny * grp_y + nz * grp_z)
+    gn_x = gn_x + eta * ct * grp_x
+    gn_y = gn_y + eta * ct * grp_y
+    gn_z = gn_z + eta * ct * grp_z
+    # ct = min(-dn, 1): pass-through where -dn < 1
+    gdn = jnp.where(-dn < 1.0, -gct, 0.0)
+    # eta = front ? 1/safe_ir : safe_ir
+    gir = jnp.where(front, -geta / (safe_ir * safe_ir), geta)
+    # refl = d - 2 dn n (metal + diel-reflect)
+    gdn = gdn - 2.0 * (nx * grefl_x + ny * grefl_y + nz * grefl_z)
+    gn_x = gn_x - 2.0 * dn * grefl_x
+    gn_y = gn_y - 2.0 * dn * grefl_y
+    gn_z = gn_z - 2.0 * dn * grefl_z
+    gd_x = gd_x + grefl_x
+    gd_y = gd_y + grefl_y
+    gd_z = gd_z + grefl_z
+    # dn = d . n
+    gd_x = gd_x + gdn * nx
+    gd_y = gd_y + gdn * ny
+    gd_z = gd_z + gdn * nz
+    gn_x = gn_x + gdn * dx
+    gn_y = gn_y + gdn * dy
+    gn_z = gn_z + gdn * dz
+    # n = sgn * n_out; n_out = (p - c) * inv_r
+    gno_x, gno_y, gno_z = sgn * gn_x, sgn * gn_y, sgn * gn_z
+    gpx = gpx + gno_x * inv_r
+    gpy = gpy + gno_y * inv_r
+    gpz = gpz + gno_z * inv_r
+    gc_x = -gno_x * inv_r
+    gc_y = -gno_y * inv_r
+    gc_z = -gno_z * inv_r
+    gr = -(nox * gno_x + noy * gno_y + noz * gno_z) * inv_r
+    # p = o + ts d
+    go_x = go_x + gpx
+    go_y = go_y + gpy
+    go_z = go_z + gpz
+    gd_x = gd_x + ts * gpx
+    gd_y = gd_y + ts * gpy
+    gd_z = gd_z + ts * gpz
+    gt = dx * gpx + dy * gpy + dz * gpz
+    # implicit hit distance at the recorded winner (intersect_kernel VJP forms)
+    psx, psy, psz = px - acx, py - acy, pz - acz
+    pd = psx * dx + psy * dy + psz * dz
+    ok = hitm & (jnp.abs(pd) > 1e-12)
+    scl = jnp.where(ok, gt / jnp.where(jnp.abs(pd) > 1e-12, pd, 1.0), 0.0)
+    go_x = go_x - scl * psx
+    go_y = go_y - scl * psy
+    go_z = go_z - scl * psz
+    gd_x = gd_x - scl * ts * psx
+    gd_y = gd_y - scl * ts * psy
+    gd_z = gd_z - scl * ts * psz
+    gc_x = gc_x + scl * psx
+    gc_y = gc_y + scl * psy
+    gc_z = gc_z + scl * psz
+    gr = gr + scl * arr
+
+    for ref, val in zip(cot_out, (go_x, go_y, go_z, gd_x, gd_y, gd_z,
+                                  gTx, gTy, gTz)):
+        ref[:] = val
+    for ref, val in zip(dattr_out, (gc_x, gc_y, gc_z, gr,
+                                    gA_r, gA_g, gA_b, gfz, gir)):
+        ref[:] = val
+
+
+def replay_bwd_step(cot: tuple, rec: tuple, grad3: tuple, bounce, seed,
+                    interpret: bool = False, u5=None):
+    """One reverse bounce: consumes the bounce's record slice and the
+    (o, d, thr) cotangent planes, returns the updated cotangents and 9
+    per-ray sphere-attribute cotangent rows."""
+    rows = cot[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = u5 is None
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda i, b_ref, *_: (b_ref[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5]
+        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=rng_specs + [rec_spec] * 21 + [spec] * 12,
+        out_specs=[spec] * 18,
+    )
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct((rows, LANES), f32)] * 18
+    base = 2 + len(rng_planes) + 21 + 3
+    aliases = {base + i: i for i in range(9)}
+
+    outs = pl.pallas_call(
+        partial(_replay_bwd_kernel, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(bounce, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, *rec, *grad3, *cot)
+    return tuple(outs[:9]), tuple(outs[9:])
+
+
+# ---------------------------------------------------------------------------
+# Driver: custom-VJP trace built on the kernel pair
+# ---------------------------------------------------------------------------
+
+def _attr_mat(scene) -> jnp.ndarray:
+    f32 = jnp.float32
+    return jnp.concatenate([
+        scene.center.astype(f32), scene.radius[:, None].astype(f32),
+        scene.albedo.astype(f32), scene.fuzz[:, None].astype(f32),
+        scene.ir[:, None].astype(f32), scene.mat[:, None].astype(f32)],
+        axis=1)  # [N, 10]
+
+
+def _base_seed(key: jax.Array) -> jnp.ndarray:
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jnp.sum(jax.random.key_data(key).astype(jnp.int32))
+    if key.ndim:  # raw uint32[2] threefry key
+        return jnp.sum(key.astype(jnp.int32))
+    return jnp.asarray(key, jnp.int32)
+
+
+def _u5_for(key, b, rows):
+    """Interpret-mode uniforms — identical derivation in record and replay."""
+    return jax.random.uniform(jax.random.fold_in(key, b),
+                              (5, rows, LANES), dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret"))
+def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
+                          interpret):
+    from .intersect_kernel import intersect_spheres_pallas
+    from ..intersect import intersect_spheres
+    from ..materials import _onehot_rows_exact
+
+    R = origin.shape[0]
+    rows = -(-R // LANES)
+    rows = -(-rows // SHADE_ROWS) * SHADE_ROWS
+    f32 = jnp.float32
+
+    pad = lambda x: _pad_rows(x.astype(f32), rows)
+    ones = jnp.ones((rows, LANES), f32)
+    zer = jnp.zeros((rows, LANES), f32)
+    alive0 = _pad_rows((jnp.arange(rows * LANES) < R).astype(jnp.int32)
+                       .reshape(-1), rows)
+    state = (pad(origin[:, 0]), pad(origin[:, 1]), pad(origin[:, 2]),
+             pad(direction[:, 0]), pad(direction[:, 1]), pad(direction[:, 2]),
+             ones, ones, ones, zer, zer, zer, alive0)
+
+    rec = tuple([jnp.zeros((max_depth, rows, LANES), f32)] * 10
+                + [jnp.zeros((max_depth, rows, LANES), jnp.int32)]
+                + [jnp.zeros((max_depth, rows, LANES), f32)] * 10)
+    rec_idx = jnp.zeros((max_depth, R), jnp.int32)
+    amat = _attr_mat(scene)
+    seed = _base_seed(key)
+
+    def body(b, carry):
+        state, rec, rec_idx = carry
+        o = jnp.stack([p.reshape(-1)[:R] for p in state[0:3]], axis=-1)
+        d = jnp.stack([p.reshape(-1)[:R] for p in state[3:6]], axis=-1)
+        if interpret:
+            res = intersect_spheres(o, d, scene, tmin=tmin)
+        else:
+            res = intersect_spheres_pallas(o, d, scene, tmin=tmin)
+        attrs10 = _onehot_rows_exact(res.index, amat, scene.n_spheres) \
+            if not interpret else amat[res.index]
+        t_plane = pad(jnp.where(res.hit, res.t, jnp.float32(BIG)))
+        attr_planes = [pad(attrs10[:, i]) for i in range(10)]
+        u5 = _u5_for(key, b, rows) if interpret else None
+        state, rec = record_shade_step(state, rec, t_plane, attr_planes,
+                                       b, seed + b, max_depth,
+                                       interpret=interpret, u5=u5)
+        rec_idx = rec_idx.at[b].set(res.index)
+        return state, rec, rec_idx
+
+    state, rec, rec_idx = jax.lax.fori_loop(0, max_depth, body,
+                                            (state, rec, rec_idx))
+    radiance = jnp.stack([p.reshape(-1)[:R] for p in state[9:12]], axis=-1)
+    return radiance.astype(origin.dtype), (rec, rec_idx)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def trace_recorded_fused(scene, origin, direction, key,
+                         max_depth: int = 16, tmin: float = 1e-4,
+                         interpret: bool = False):
+    """Differentiable radiance ``[R,3]`` — kernel-pair recorded trace.
+
+    Forward streams (hardware PRNG, persistent-family) differ from ``trace``;
+    under ``value_and_grad`` the estimator is exact path replay."""
+    radiance, _ = _fused_record_forward(scene, origin, direction, key,
+                                        max_depth, tmin, interpret)
+    return radiance
+
+
+def _fused_fwd(scene, origin, direction, key, max_depth, tmin, interpret):
+    radiance, res = _fused_record_forward(scene, origin, direction, key,
+                                          max_depth, tmin, interpret)
+    # Residuals must be JAX types: carry the ray dtype as a 0-length token.
+    return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
+
+
+def _float0_like(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+def _split3_bf16(rows: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3-way bf16 split of an f32 matrix, packed side by side — the
+    transpose counterpart of materials._onehot_rows_exact."""
+    hi = rows.astype(jnp.bfloat16)
+    rem = rows - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "R"))
+def _fused_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
+                    interpret, R):
+    rows = rec[0].shape[1]
+    n = scene.n_spheres
+    f32 = jnp.float32
+    seed = _base_seed(key)
+    pad = lambda x: _pad_rows(x.astype(f32), rows)
+    grad3 = (pad(g_rad[:, 0]), pad(g_rad[:, 1]), pad(g_rad[:, 2]))
+    zer = jnp.zeros((rows, LANES), f32)
+    cot = (zer,) * 9
+    g_attr = jnp.zeros((n, 9), f32)
+
+    def back(carry, b):
+        cot, g_attr = carry
+        u5 = _u5_for(key, b, rows) if interpret else None
+        cot, dattr = replay_bwd_step(cot, rec, grad3, b, seed + b,
+                                     interpret=interpret, u5=u5)
+        rows9 = jnp.stack([p.reshape(-1)[:R] for p in dattr], axis=-1)
+        onehot = (rec_idx[b][:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                  ).astype(jnp.bfloat16)
+        rows27 = _split3_bf16(rows9)
+        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
+        return (cot, g_attr), None
+
+    (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),
+                                    jnp.arange(max_depth - 1, -1, -1))
+    g_org = jnp.stack([p.reshape(-1)[:R] for p in cot[0:3]], axis=-1)
+    g_dir = jnp.stack([p.reshape(-1)[:R] for p in cot[3:6]], axis=-1)
+    return g_attr, g_org, g_dir
+
+
+def _fused_bwd(max_depth, tmin, interpret, residuals, g_rad):
+    scene, key, (rec, rec_idx), dtype_token = residuals
+    R, dtype = g_rad.shape[0], dtype_token.dtype
+    g_attr, g_org, g_dir = _fused_bwd_impl(scene, key, rec, rec_idx,
+                                           g_rad.astype(jnp.float32),
+                                           max_depth, tmin, interpret, R=R)
+    g_scene = scene._replace(
+        center=g_attr[:, 0:3].astype(scene.center.dtype),
+        radius=g_attr[:, 3].astype(scene.radius.dtype),
+        albedo=g_attr[:, 4:7].astype(scene.albedo.dtype),
+        fuzz=g_attr[:, 7].astype(scene.fuzz.dtype),
+        ir=g_attr[:, 8].astype(scene.ir.dtype),
+        mat=_float0_like(scene.mat))
+    return (g_scene, g_org.astype(dtype), g_dir.astype(dtype),
+            _float0_like(key))
+
+
+trace_recorded_fused.defvjp(_fused_fwd, _fused_bwd)
