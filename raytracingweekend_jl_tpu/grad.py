@@ -40,9 +40,14 @@ RECORD_HBM_BUDGET = int(float(os.environ.get("RTW_RECORD_HBM_GB", "8")) * 2**30)
 #: 2 bools, f32-dominated, doubled for the reverse scan's cotangent buffers.
 _RECORD_BYTES_PER_RAY_BOUNCE = 12 * 4 * 2 + 8
 
+#: Fused kernel-pair path (ops/pallas/grad_kernel.py): 21 f32 record planes
+#: + 1 int32 winner index per ray per bounce, updated in place (no doubling).
+_FUSED_BYTES_PER_RAY_BOUNCE = 21 * 4 + 4
+
 
 def auto_pixel_chunk(n_pix: int, max_depth: int,
-                     budget: int | None = None) -> int | None:
+                     budget: int | None = None,
+                     bytes_per_ray_bounce: int | None = None) -> int | None:
     """Pixel chunk that keeps the recorded-path residuals inside HBM.
 
     The recorded integrator (ops/grad_trace.py) stashes ~12 floats per ray per
@@ -52,7 +57,9 @@ def auto_pixel_chunk(n_pix: int, max_depth: int,
     largest lane-aligned chunk within the budget.
     """
     budget = RECORD_HBM_BUDGET if budget is None else budget
-    r_max = budget // (_RECORD_BYTES_PER_RAY_BOUNCE * max(max_depth, 1))
+    if bytes_per_ray_bounce is None:
+        bytes_per_ray_bounce = _RECORD_BYTES_PER_RAY_BOUNCE
+    r_max = budget // (bytes_per_ray_bounce * max(max_depth, 1))
     if n_pix <= r_max:
         return None
     # Chunks are padded to equal size by render_radiance; keep them
@@ -93,13 +100,18 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     ``pixel_chunk=1<<20`` so per-bounce path records (~12 floats/ray/bounce)
     stay within HBM."""
     # An explicit remat=True without recorded= selects the XLA-transpose
-    # path; otherwise the recorded integrator is the default.
+    # path; otherwise the recorded integrator is the default. The fused
+    # kernel-pair variant (recorded_fused=True) implies recorded.
+    if kwargs.get("recorded_fused"):
+        kwargs["recorded"] = True
     kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
         kwargs["pixel_chunk"] = auto_pixel_chunk(
             target.shape[0] * image_width,
-            kwargs.get("max_depth", 16))
+            kwargs.get("max_depth", 16),
+            bytes_per_ray_bounce=_FUSED_BYTES_PER_RAY_BOUNCE
+            if kwargs.get("recorded_fused") else None)
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

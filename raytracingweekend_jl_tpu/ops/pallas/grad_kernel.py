@@ -623,3 +623,252 @@ def _fused_bwd(max_depth, tmin, interpret, residuals, g_rad):
 
 
 trace_recorded_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Staged variant: compact the wavefront at bounce boundaries
+# ---------------------------------------------------------------------------
+# The fused path is SWEEP-bound (measured: 16 full-width sweeps = 92 ms of a
+# 128 ms record forward at R=1M; the replay backward is 22 ms), and flagship
+# occupancy falls to ~14% by bounce 4 — so unlike the XLA recorded path
+# (glue-bound; staging measured NEGATIVE, bench_history grad_step_staged_*),
+# compaction pays here: sweep cost is proportional to stage width.
+#
+# Budget contract (same as grad_trace.trace_recorded_staged): if more lanes
+# are alive at a boundary than the next stage holds, the overflow lanes'
+# tails are truncated AND their banked radiance is lost (alive lanes carry
+# zero radiance — a lane only accumulates sky light at its death bounce), so
+# both image and gradients bias DOWN. A jax.debug warning fires when it
+# happens; widen the schedule if it does.
+
+#: (first_bounce, width_divisor) schedule; conservative vs the measured
+#: flagship occupancy curve [1, .84, .37, .22, .14, ...] (2x margin at each
+#: boundary).
+DEFAULT_STAGES = ((0, 1), (2, 2), (4, 4), (8, 8))
+
+
+def _stage_plan(R: int, max_depth: int, stages) -> list:
+    plan = []
+    for i, (b0, div) in enumerate(stages):
+        b1 = stages[i + 1][0] if i + 1 < len(stages) else max_depth
+        b1 = min(b1, max_depth)
+        if b0 >= max_depth or b1 <= b0:
+            break
+        rows = -(-(-(-R // div)) // LANES)
+        rows = -(-rows // SHADE_ROWS) * SHADE_ROWS
+        plan.append((b0, b1, rows))
+    return plan
+
+
+def _partition_alive(alive: jnp.ndarray):
+    """Stable partition order: alive lanes first, original order preserved.
+    cumsum-based (two prefix sums + one scatter — cheaper than argsort)."""
+    ai = alive.astype(jnp.int32)
+    n_alive = jnp.sum(ai)
+    pos = jnp.where(alive, jnp.cumsum(ai) - 1,
+                    n_alive + jnp.cumsum(1 - ai) - 1)
+    order = jnp.zeros_like(pos).at[pos].set(
+        jnp.arange(pos.shape[0], dtype=jnp.int32))
+    return order, n_alive
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "stages"))
+def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
+                                 tmin, interpret, stages):
+    from .intersect_kernel import intersect_spheres_pallas
+    from ..intersect import intersect_spheres
+    from ..materials import _onehot_rows_exact
+
+    R = origin.shape[0]
+    plan = _stage_plan(R, max_depth, stages)
+    f32 = jnp.float32
+    amat = _attr_mat(scene)
+    seed = _base_seed(key)
+
+    rows0 = plan[0][2]
+    pad0 = lambda x: _pad_rows(x.astype(f32), rows0)
+    ones = jnp.ones((rows0, LANES), f32)
+    zer = jnp.zeros((rows0, LANES), f32)
+    alive0 = _pad_rows((jnp.arange(rows0 * LANES) < R).astype(jnp.int32),
+                       rows0)
+    state = (pad0(origin[:, 0]), pad0(origin[:, 1]), pad0(origin[:, 2]),
+             pad0(direction[:, 0]), pad0(direction[:, 1]),
+             pad0(direction[:, 2]), ones, ones, ones, zer, zer, zer, alive0)
+    ids = jnp.arange(rows0 * LANES, dtype=jnp.int32)
+    rad_accum = jnp.zeros((R, 3), f32)
+    recs, rec_idxs, sels, ids_ps = [], [], [], []
+    n_over = jnp.int32(0)
+
+    for s, (b0, b1, rows_s) in enumerate(plan):
+        Rs = rows_s * LANES
+        if s > 0:
+            flat = [p.reshape(-1) for p in state]
+            alive = flat[12] != 0
+            order, n_alive = _partition_alive(alive)
+            n_over = n_over + jnp.maximum(n_alive - Rs, 0)
+            # Bank radiance: only DEAD lanes carry any (a lane accumulates
+            # sky light only at its death bounce), so banking everything and
+            # zeroing the survivors' planes double-counts nothing.
+            rad_accum = rad_accum.at[ids].add(
+                jnp.stack(flat[9:12], axis=-1), mode="drop")
+            sel = order[:Rs]
+            zrad = jnp.zeros((rows_s, LANES), f32)
+            state = tuple(
+                zrad if 9 <= i <= 11 else _pad_rows(flat[i][sel], rows_s)
+                for i in range(13))
+            ids = ids[sel]
+            sels.append(sel)
+        ids_ps.append(ids)
+
+        nb = b1 - b0
+        rec = tuple([jnp.zeros((nb, rows_s, LANES), f32)] * 10
+                    + [jnp.zeros((nb, rows_s, LANES), jnp.int32)]
+                    + [jnp.zeros((nb, rows_s, LANES), f32)] * 10)
+        rec_idx = jnp.zeros((nb, Rs), jnp.int32)
+
+        def body(i, carry, b0=b0, rows_s=rows_s, Rs=Rs):
+            state, rec, rec_idx = carry
+            b = b0 + i
+            o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
+            d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
+            if interpret:
+                res = intersect_spheres(o, d, scene, tmin=tmin)
+            else:
+                res = intersect_spheres_pallas(o, d, scene, tmin=tmin)
+            attrs10 = _onehot_rows_exact(res.index, amat, scene.n_spheres) \
+                if not interpret else amat[res.index]
+            t_plane = jnp.where(res.hit, res.t,
+                                jnp.float32(BIG)).astype(jnp.float32) \
+                .reshape(rows_s, LANES)
+            attr_planes = [attrs10[:, i].astype(jnp.float32)
+                           .reshape(rows_s, LANES) for i in range(10)]
+            u5 = _u5_for(key, b, rows_s) if interpret else None
+            state, rec = record_shade_step(state, rec, t_plane, attr_planes,
+                                           i, seed + b, max_depth,
+                                           interpret=interpret, u5=u5)
+            rec_idx = rec_idx.at[i].set(res.index)
+            return state, rec, rec_idx
+
+        state, rec, rec_idx = jax.lax.fori_loop(0, nb, body,
+                                                (state, rec, rec_idx))
+        recs.append(rec)
+        rec_idxs.append(rec_idx)
+
+    flat = [p.reshape(-1) for p in state]
+    rad_accum = rad_accum.at[ids].add(jnp.stack(flat[9:12], axis=-1),
+                                      mode="drop")
+    jax.lax.cond(
+        n_over > 0,
+        lambda c: jax.debug.print(
+            "WARNING trace_recorded_fused staged: {} lanes overflowed a "
+            "stage budget — tails truncated (radiance/gradients biased "
+            "down); widen the stage schedule", c),
+        lambda c: None, n_over)
+    return rad_accum.astype(origin.dtype), (tuple(recs), tuple(rec_idxs),
+                                            tuple(sels), tuple(ids_ps))
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "stages",
+                                   "R"))
+def _fused_bwd_impl_staged(scene, key, recs, rec_idxs, sels, ids_ps, g_rad,
+                           max_depth, tmin, interpret, stages, R):
+    plan = _stage_plan(R, max_depth, stages)
+    n = scene.n_spheres
+    f32 = jnp.float32
+    seed = _base_seed(key)
+    g_attr = jnp.zeros((n, 9), f32)
+    cot_flat = None
+
+    for s in reversed(range(len(plan))):
+        b0, b1, rows_s = plan[s]
+        Rs = rows_s * LANES
+        nb = b1 - b0
+        ids = ids_ps[s]
+        safe = jnp.clip(ids, 0, R - 1)
+        grad3_flat = g_rad[safe] * (ids < R).astype(f32)[:, None]
+        grad3 = tuple(grad3_flat[:, i].reshape(rows_s, LANES)
+                      for i in range(3))
+        if cot_flat is None:
+            cot = (jnp.zeros((rows_s, LANES), f32),) * 9
+        else:
+            # Lanes dropped at this boundary were DEAD: their cotangent is
+            # exactly zero (state stopped; radiance already banked), so the
+            # expansion scatters the survivors' cotangents and zero-fills.
+            sel = sels[s]  # stage s+1 lane -> stage s lane index
+            cot = tuple(
+                jnp.zeros((Rs,), f32).at[sel].set(c).reshape(rows_s, LANES)
+                for c in cot_flat)
+
+        rec, rec_idx = recs[s], rec_idxs[s]
+
+        def back(carry, i, b0=b0, rows_s=rows_s, rec=rec, rec_idx=rec_idx,
+                 grad3=grad3):
+            cot, g_attr = carry
+            b = b0 + i
+            u5 = _u5_for(key, b, rows_s) if interpret else None
+            cot, dattr = replay_bwd_step(cot, rec, grad3, i, seed + b,
+                                         interpret=interpret, u5=u5)
+            rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
+            onehot = (rec_idx[i][:, None]
+                      == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                      ).astype(jnp.bfloat16)
+            rows27 = _split3_bf16(rows9)
+            contrib = jax.lax.dot_general(onehot, rows27,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=f32)
+            g_attr = (g_attr + contrib[:, 0:9] + contrib[:, 9:18]
+                      + contrib[:, 18:27])
+            return (cot, g_attr), None
+
+        (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),
+                                        jnp.arange(nb - 1, -1, -1))
+        cot_flat = tuple(c.reshape(-1) for c in cot)
+
+    g_org = jnp.stack([c[:R] for c in cot_flat[0:3]], axis=-1)
+    g_dir = jnp.stack([c[:R] for c in cot_flat[3:6]], axis=-1)
+    return g_attr, g_org, g_dir
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def trace_recorded_fused_staged(scene, origin, direction, key,
+                                max_depth: int = 16, tmin: float = 1e-4,
+                                interpret: bool = False,
+                                stages: tuple = DEFAULT_STAGES):
+    """Staged kernel-pair recorded trace: like :func:`trace_recorded_fused`
+    but the wavefront compacts to survivors at the (static) stage boundaries,
+    cutting the dominant dead-lane sweep cost ~3x at flagship occupancy.
+    Different draws than the unstaged path (stage widths reseed the
+    per-block PRNG) — statistically identical, exact replay under
+    ``value_and_grad``."""
+    radiance, _ = _fused_record_forward_staged(scene, origin, direction, key,
+                                               max_depth, tmin, interpret,
+                                               stages)
+    return radiance
+
+
+def _fused_staged_fwd(scene, origin, direction, key, max_depth, tmin,
+                      interpret, stages):
+    radiance, res = _fused_record_forward_staged(scene, origin, direction,
+                                                 key, max_depth, tmin,
+                                                 interpret, stages)
+    return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
+
+
+def _fused_staged_bwd(max_depth, tmin, interpret, stages, residuals, g_rad):
+    scene, key, (recs, rec_idxs, sels, ids_ps), dtype_token = residuals
+    R, dtype = g_rad.shape[0], dtype_token.dtype
+    g_attr, g_org, g_dir = _fused_bwd_impl_staged(
+        scene, key, recs, rec_idxs, sels, ids_ps,
+        g_rad.astype(jnp.float32), max_depth, tmin, interpret, stages, R=R)
+    g_scene = scene._replace(
+        center=g_attr[:, 0:3].astype(scene.center.dtype),
+        radius=g_attr[:, 3].astype(scene.radius.dtype),
+        albedo=g_attr[:, 4:7].astype(scene.albedo.dtype),
+        fuzz=g_attr[:, 7].astype(scene.fuzz.dtype),
+        ir=g_attr[:, 8].astype(scene.ir.dtype),
+        mat=_float0_like(scene.mat))
+    return (g_scene, g_org.astype(dtype), g_dir.astype(dtype),
+            _float0_like(key))
+
+
+trace_recorded_fused_staged.defvjp(_fused_staged_fwd, _fused_staged_bwd)

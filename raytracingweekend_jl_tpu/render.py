@@ -104,7 +104,9 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     remat_policy: str | None = None,
                     tile_skip: int = 0,
                     recorded: bool = False,
-                    recorded_stage: tuple | None = None) -> jnp.ndarray:
+                    recorded_stage: tuple | None = None,
+                    recorded_fused: bool = False,
+                    fused_stages: tuple | None = None) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -205,7 +207,28 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             # recorded_stage=(B, div): opt-in staged variant — tail bounces
             # >= B run at width R//div over the compacted survivors (see the
             # budget contract in ops/grad_trace.py).
-            if recorded_stage is not None:
+            if recorded_fused:
+                # Kernel-pair record/replay path (ops/pallas/grad_kernel.py):
+                # ONE Pallas kernel per bounce on each side. Forward draws
+                # come from the persistent-family hardware PRNG stream (not
+                # threefry) — statistically identical, exact replay under
+                # value_and_grad. Interpret mode on CPU. fused_stages opts
+                # into boundary compaction (the fused path is sweep-bound,
+                # so shrinking the wavefront pays — unlike the XLA recorded
+                # path, where staging measured negative).
+                interp = jax.default_backend() == "cpu"
+                if fused_stages is not None:
+                    from .ops.pallas.grad_kernel import (
+                        trace_recorded_fused_staged)
+                    radiance = trace_recorded_fused_staged(
+                        scene, origin, direction, trace_key, max_depth, tmin,
+                        interp, fused_stages)
+                else:
+                    from .ops.pallas.grad_kernel import trace_recorded_fused
+                    radiance = trace_recorded_fused(
+                        scene, origin, direction, trace_key, max_depth, tmin,
+                        interp)
+            elif recorded_stage is not None:
                 from .ops.grad_trace import trace_recorded_staged
                 stage_b, stage_div = recorded_stage
                 stage_width = max(origin.shape[0] // stage_div, 1)
@@ -243,7 +266,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
                                    "persistent", "fused_attrs", "remat_policy",
-                                   "tile_skip", "recorded", "recorded_stage"))
+                                   "tile_skip", "recorded", "recorded_stage",
+                                   "recorded_fused", "fused_stages"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -253,12 +277,15 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   remat_policy: str | None = None,
                   tile_skip: int = 0,
                   recorded: bool = False,
-                  recorded_stage: tuple | None = None) -> jnp.ndarray:
+                  recorded_stage: tuple | None = None,
+                  recorded_fused: bool = False,
+                  fused_stages: tuple | None = None) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
-                          tile_skip, recorded, recorded_stage)
+                          tile_skip, recorded, recorded_stage, recorded_fused,
+                          fused_stages)
     return acc / n_samples
 
 
@@ -273,7 +300,9 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     remat_policy: str | None = None,
                     tile_skip: int = 0,
                     recorded: bool = False,
-                    recorded_stage: tuple | None = None) -> jnp.ndarray:
+                    recorded_stage: tuple | None = None,
+                    recorded_fused: bool = False,
+                    fused_stages: tuple | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -303,7 +332,9 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             compact, spp_pass, persistent,
                             fused_attrs=fused_attrs, remat_policy=remat_policy,
                             tile_skip=tile_skip, recorded=recorded,
-                            recorded_stage=recorded_stage)
+                            recorded_stage=recorded_stage,
+                            recorded_fused=recorded_fused,
+                            fused_stages=fused_stages)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -322,7 +353,9 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 persistent, pixel_start=jnp.int32(c * pixel_chunk),
                 fused_attrs=fused_attrs, remat_policy=remat_policy,
                 tile_skip=tile_skip, recorded=recorded,
-                recorded_stage=recorded_stage))
+                recorded_stage=recorded_stage,
+                recorded_fused=recorded_fused,
+                fused_stages=fused_stages))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -94,6 +94,32 @@ def main() -> None:
         ("staged_b2_div2_chunk1m",
          dict(remat=False, recorded=True, pixel_chunk=1 << 20,
               recorded_stage=(2, 2))),
+        # Fused kernel-pair record/replay (ops/pallas/grad_kernel.py):
+        # one Pallas kernel per bounce per direction.
+        ("fused_chunk1m",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=1 << 20)),
+        ("fused_chunk512k",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=1 << 19)),
+        ("fused_full",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=None)),
+        # Staged fused: compact the wavefront at bounce boundaries — the
+        # fused path is sweep-bound (unlike the XLA recorded path, where
+        # staging measured negative), so width cuts pay ~proportionally.
+        ("fused_staged_default_chunk1m",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=1 << 20,
+              fused_stages=((0, 1), (2, 2), (4, 4), (8, 8)))),
+        ("fused_staged_aggr_chunk1m",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=1 << 20,
+              fused_stages=((0, 1), (2, 2), (4, 4), (6, 8), (10, 16)))),
+        ("fused_staged_default_full",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              pixel_chunk=None,
+              fused_stages=((0, 1), (2, 2), (4, 4), (8, 8)))),
     ]
     if args.quick:
         configs = configs[:1]
@@ -105,18 +131,29 @@ def main() -> None:
     paths = W * H * spp
     hist_path = os.path.join(os.path.dirname(__file__), "..",
                              "bench_history.jsonl")
+    from raytracingweekend_jl_tpu.grad import (render_loss, _params_of,
+                                               _with_params)
+
     for name, kw in configs:
         remat = kw.pop("remat")
         try:
+            # One jitted program per step (value_and_grad over ALL chunks +
+            # loss glue): on the axon tunnel each separate dispatch costs
+            # ~15-30 ms, which at sub-second step times dominates. Seed is a
+            # traced argument so repeats reuse the compiled program.
+            def f(params, seed, kw=kw, remat=remat):
+                return render_loss(_with_params(bad, params), cam, target, W,
+                                   spp, seed=seed, remat=remat, **kw)
+
+            step = jax.jit(jax.value_and_grad(f))
+            p0 = _params_of(bad)
             t0 = time.time()
-            loss, grads = render_grads(bad, cam, target, W, spp, seed=7,
-                                       remat=remat, **kw)
+            loss, grads = step(p0, jnp.int32(7))
             g0 = float(np.asarray(grads.albedo).sum())  # host fetch = sync
             warm_s = time.time() - t0
 
             t0 = time.time()
-            loss, grads = render_grads(bad, cam, target, W, spp, seed=8,
-                                       remat=remat, **kw)
+            loss, grads = step(p0, jnp.int32(8))
             g1 = float(np.asarray(grads.albedo).sum())
             steady_s = time.time() - t0
             rec = {"ts": time.time(),
