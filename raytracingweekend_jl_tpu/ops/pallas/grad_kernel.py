@@ -757,13 +757,18 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
     flat = [p.reshape(-1) for p in state]
     rad_accum = rad_accum.at[ids].add(jnp.stack(flat[9:12], axis=-1),
                                       mode="drop")
-    jax.lax.cond(
-        n_over > 0,
-        lambda c: jax.debug.print(
-            "WARNING trace_recorded_fused staged: {} lanes overflowed a "
-            "stage budget — tails truncated (radiance/gradients biased "
-            "down); widen the stage schedule", c),
-        lambda c: None, n_over)
+    # Budget-overflow warning. jax.debug.print is a host callback, which the
+    # axon PJRT cannot lower (UNIMPLEMENTED: host send/recv) — on that
+    # platform the overflow count is still computed but the warning is
+    # elided; validate schedules off-device or via trace_occupancy.
+    if jax.default_backend() != "axon":
+        jax.lax.cond(
+            n_over > 0,
+            lambda c: jax.debug.print(
+                "WARNING trace_recorded_fused staged: {} lanes overflowed a "
+                "stage budget — tails truncated (radiance/gradients biased "
+                "down); widen the stage schedule", c),
+            lambda c: None, n_over)
     return rad_accum.astype(origin.dtype), (tuple(recs), tuple(rec_idxs),
                                             tuple(sels), tuple(ids_ps))
 

@@ -1,0 +1,140 @@
+"""Inverse-rendering optimization — the framework's training surface.
+
+The reference renderer has no autodiff at all (SURVEY.md §2.9 north star);
+this module turns the differentiable renderer into a working scene-fitting
+loop. The estimator is a measured HYBRID (bench_history inverse_* rows):
+
+- **appearance parameters** (albedo; extendable to fuzz/ir): exact interior
+  autodiff via ``value_and_grad`` of the recorded integrator. Appearance
+  never moves silhouettes, so the reparameterized path derivative is the
+  whole gradient and Adam converges cleanly.
+- **geometry parameters** (centers): **SPSA** — simultaneous-perturbation
+  stochastic approximation: probe pairs ``loss(c ± eps*delta)`` with a
+  shared Rademacher direction ``delta``, gradient estimate
+  ``(L+ - L-)/(2 eps) * delta``. Interior-only autodiff is actively WRONG
+  for geometry on this loss: the MSE is dominated by silhouette/visibility
+  terms that the path derivative cannot see (measured: FD ~200x larger and
+  differently signed than AD at eps=1e-3 — grad.py's documented
+  no-boundary-term limitation), so AD-Adam walks centers uphill. SPSA's
+  finite probes DO see silhouettes, at two cheap non-differentiable
+  production-forward renders per pair.
+
+The RNG seed is FIXED across steps and shared by both probes of every SPSA
+pair: the loss surface is deterministic, so differences isolate the
+parameter effect. (Per-step reseeding was measured to inject a
+variance-gradient bias — darkening reduces estimator variance, the classic
+MSE inverse-rendering pathology.)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .grad import render_loss
+from .render import render_radiance
+from .scene import Scene
+
+
+@dataclass
+class FitResult:
+    scene: Scene                      #: fitted scene
+    losses: list = field(default_factory=list)   #: per-step loss values
+    step_seconds: list = field(default_factory=list)  #: per-step wall time
+
+
+def movable_mask(scene: Scene, radius_cap: float = 10.0) -> np.ndarray:
+    """Spheres the fit may move: real (non-padding) and not the ground
+    sphere (reference scenes model the ground as a huge sphere,
+    src/scenes.jl:9-14 — moving it underfoot is never the task)."""
+    r = np.asarray(scene.radius)
+    return (r != 0) & (np.abs(r) < radius_cap)
+
+
+def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
+              image_width: int, n_samples: int, *,
+              steps: int = 100, seed: int = 0,
+              lr_albedo: float = 2e-2, lr_center: float = 8e-3,
+              spsa_c: float = 2e-2, spsa_pairs: int = 2,
+              movable: np.ndarray | None = None,
+              render_kwargs: dict | None = None,
+              on_step=None) -> FitResult:
+    """Recover sphere centers + albedos of ``scene0`` so its render matches
+    ``target`` ([H,W,3] linear radiance). Returns the fitted scene and the
+    loss trajectory. ``on_step(i, loss, params)`` is an optional callback.
+
+    ``render_kwargs`` configures the DIFFERENTIABLE render used for the loss
+    and albedo gradient (e.g. ``dict(recorded=True, recorded_fused=True)``
+    on TPU); SPSA probes always use the fast production forward.
+    """
+    import optax
+
+    H = target.shape[0]
+    tkw = dict(render_kwargs or {"recorded": True})
+    on_tpu = jax.default_backend() != "cpu"
+    if movable is None:
+        movable = movable_mask(scene0)
+    mov = jnp.asarray(movable)[:, None]
+    mov_np = np.asarray(movable)[:, None]
+
+    params = {"center": scene0.center, "albedo": scene0.albedo}
+    opt = optax.multi_transform(
+        {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)},
+        {"center": "center", "albedo": "albedo"})
+    opt_state = opt.init(params)
+
+    def step_loss(p):
+        s = scene0._replace(center=p["center"],
+                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+        return render_loss(s, cam, target, image_width, n_samples,
+                           seed=seed, **tkw)
+
+    # ONE program per step: on the axon tunnel every separate dispatch costs
+    # ~15-30 ms, so the whole value_and_grad (all chunks + loss glue) is
+    # jitted as a unit and reused across the loop.
+    vg = jax.jit(jax.value_and_grad(step_loss))
+
+    @jax.jit
+    def fwd_loss(center, albedo):
+        s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1))
+        img = render_radiance(s, cam, image_width, n_samples,
+                              image_height=H, seed=seed, persistent=on_tpu)
+        return jnp.mean((img - target) ** 2)
+
+    spsa_rng = np.random.default_rng(31)
+
+    def spsa_center_grad(p):
+        # Plain-Python probe loop over ONE jitted forward (vmapping the
+        # Pallas persistent kernel is unsupported; the few extra dispatches
+        # per step are small next to the renders).
+        g = 0.0
+        for _ in range(spsa_pairs):
+            delta = jnp.asarray(
+                (spsa_rng.integers(0, 2, scene0.center.shape) * 2 - 1)
+                * mov_np, jnp.float32)
+            lp = fwd_loss(p["center"] + spsa_c * delta, p["albedo"])
+            lm = fwd_loss(p["center"] - spsa_c * delta, p["albedo"])
+            g = g + (lp - lm) / (2.0 * spsa_c) * delta
+        return g / spsa_pairs
+
+    result = FitResult(scene=scene0)
+    for i in range(steps):
+        t0 = time.time()
+        loss, g = vg(params)
+        g = {"center": spsa_center_grad(params), "albedo": g["albedo"] * mov}
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        loss = float(loss)  # host fetch = sync
+        result.losses.append(loss)
+        result.step_seconds.append(time.time() - t0)
+        if on_step is not None:
+            on_step(i, loss, params)
+
+    result.scene = scene0._replace(center=params["center"],
+                                   albedo=jnp.clip(params["albedo"], 0, 1))
+    return result

@@ -238,16 +238,20 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 # Budget contract (ops/grad_trace.py): survivors beyond
                 # stage_width at stage_bounce get their tails truncated,
                 # silently biasing image AND gradients. Surface it.
-                overflow = alive_count > stage_width
-                jax.lax.cond(
-                    overflow,
-                    lambda c: jax.debug.print(
-                        "WARNING trace_recorded_staged: {} lanes alive at "
-                        "stage bounce exceed stage_width={} — overflow tails "
-                        "truncated (biased radiance/gradients); raise "
-                        "stage_width or lower stage_bounce", c,
-                        stage_width),
-                    lambda c: None, alive_count)
+                # jax.debug.print is a host callback — the axon PJRT cannot
+                # lower it (UNIMPLEMENTED: host send/recv), so the warning
+                # is elided there; the truncation contract still holds.
+                if jax.default_backend() != "axon":
+                    overflow = alive_count > stage_width
+                    jax.lax.cond(
+                        overflow,
+                        lambda c: jax.debug.print(
+                            "WARNING trace_recorded_staged: {} lanes alive at "
+                            "stage bounce exceed stage_width={} — overflow "
+                            "tails truncated (biased radiance/gradients); "
+                            "raise stage_width or lower stage_bounce", c,
+                            stage_width),
+                        lambda c: None, alive_count)
             else:
                 from .ops.grad_trace import trace_recorded
                 radiance = trace_recorded(scene, origin, direction, trace_key,

@@ -37,9 +37,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--lr", type=float, default=2e-2,
                     help="Adam lr for albedo")
-    ap.add_argument("--lr-center", type=float, default=5e-3,
-                    help="Adam lr for centers (geometry moves gently — "
-                         "interior gradients only, no silhouette term)")
+    ap.add_argument("--lr-center", type=float, default=8e-3,
+                    help="Adam lr for centers (SPSA gradients)")
+    ap.add_argument("--spsa-c", type=float, default=2e-2,
+                    help="SPSA perturbation scale for centers")
+    ap.add_argument("--spsa-pairs", type=int, default=2,
+                    help="averaged SPSA probe pairs per step")
     ap.add_argument("--center-jitter", type=float, default=0.12)
     ap.add_argument("--albedo-scale", type=float, default=0.55)
     ap.add_argument("--seed", type=int, default=0)
@@ -99,54 +102,39 @@ def main() -> None:
     save(render_radiance(scene0, cam, W, spp, image_height=H,
                          seed=args.seed, **tkw), "initial.png")
 
-    # Optimize centers + albedos of the movable spheres with Adam.
-    params = {"center": scene0.center, "albedo": scene0.albedo}
-    mov = jnp.asarray(movable)[:, None]
-    opt = optax.multi_transform(
-        {"center": optax.adam(args.lr_center), "albedo": optax.adam(args.lr)},
-        {"center": "center", "albedo": "albedo"})
-    opt_state = opt.init(params)
+    # Optimize with the package's hybrid fitter (optimize.fit_scene):
+    # exact AD for albedo, SPSA for centers — see that module's docstring
+    # for the measured rationale.
+    from raytracingweekend_jl_tpu.optimize import fit_scene, movable_mask
 
-    def step_loss(p):
-        s = scene0._replace(center=p["center"],
-                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
-        return render_loss(s, cam, target, W, spp, seed=args.seed, **tkw)
-
-    # ONE program per step: on the axon tunnel every separate dispatch costs
-    # ~15-30 ms, so the whole value_and_grad (all chunks + loss glue) is
-    # jitted as a unit and reused across the loop.
-    vg = jax.jit(jax.value_and_grad(step_loss))
-
-    losses = []
     log_path = os.path.join(args.out_dir, "loss_history.jsonl")
     paths = W * H * spp
     hist_path = os.path.join(os.path.dirname(__file__), "..",
                              "bench_history.jsonl")
-    t_all0 = time.time()
-    with open(log_path, "w") as lf:
-        for i in range(args.steps):
-            t0 = time.time()
-            loss, g = vg(params)
-            g = {"center": g["center"] * mov, "albedo": g["albedo"] * mov}
-            updates, opt_state = opt.update(g, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            loss = float(loss)  # host fetch = sync
-            dt = time.time() - t0
-            losses.append(loss)
-            lf.write(json.dumps({"step": i, "loss": loss,
-                                 "s": round(dt, 4)}) + "\n")
-            if i % 10 == 0 or i == args.steps - 1:
-                print(f"step {i:4d}  loss {loss:.6f}  {dt:.3f}s "
-                      f"({paths / dt / 1e6:.2f} Mpaths/s fwd+bwd)", flush=True)
-            if i == args.steps // 2:
-                save(render_radiance(
-                    scene0._replace(center=params["center"],
-                                    albedo=jnp.clip(params["albedo"], 0, 1)),
-                    cam, W, spp, image_height=H, seed=args.seed, **tkw),
-                    "midway.png")
+    lf = open(log_path, "w")
 
-    scene_fit = scene0._replace(center=params["center"],
-                                albedo=jnp.clip(params["albedo"], 0, 1))
+    def on_step(i, loss, params):
+        lf.write(json.dumps({"step": i, "loss": loss}) + "\n")
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {loss:.6f}", flush=True)
+        if i == args.steps // 2:
+            save(render_radiance(
+                scene0._replace(center=params["center"],
+                                albedo=jnp.clip(params["albedo"], 0, 1)),
+                cam, W, spp, image_height=H, seed=args.seed, **tkw),
+                "midway.png")
+
+    t_all0 = time.time()
+    res = fit_scene(scene0, cam, target, W, spp, steps=args.steps,
+                    seed=args.seed, lr_albedo=args.lr,
+                    lr_center=args.lr_center, spsa_c=args.spsa_c,
+                    spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                    on_step=on_step)
+    lf.close()
+    losses = res.losses
+    movable = movable_mask(scene_true)
+
+    scene_fit = res.scene
     save(render_radiance(scene_fit, cam, W, spp, image_height=H,
                          seed=args.seed, **tkw), "final.png")
 
