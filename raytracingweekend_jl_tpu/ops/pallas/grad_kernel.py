@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..intersect import BIG
 from .intersect_kernel import LANES, _pad_rows
 from .shade_kernel import _shade_core, _uniforms, _gauss3, SHADE_ROWS
+from ...utils.platform import host_callbacks_unsupported
 
 #: Seed decorrelation constants (block vs bounce); replay MUST match record.
 _BLOCK_SEED_STRIDE = 40503
@@ -761,7 +762,7 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
     # axon PJRT cannot lower (UNIMPLEMENTED: host send/recv) — on that
     # platform the overflow count is still computed but the warning is
     # elided; validate schedules off-device or via trace_occupancy.
-    if jax.default_backend() != "axon":
+    if not host_callbacks_unsupported():
         jax.lax.cond(
             n_over > 0,
             lambda c: jax.debug.print(

@@ -33,6 +33,7 @@ from .ops.integrator import (trace, trace_compacted, persistent_render_sum,
 from .ops.intersect import DEFAULT_TMIN
 from .ops.vecmath import gamma2_encode
 from .scene import Scene
+from .utils.platform import host_callbacks_unsupported
 
 
 def image_height_for(image_width: int) -> int:
@@ -241,7 +242,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 # jax.debug.print is a host callback — the axon PJRT cannot
                 # lower it (UNIMPLEMENTED: host send/recv), so the warning
                 # is elided there; the truncation contract still holds.
-                if jax.default_backend() != "axon":
+                if not host_callbacks_unsupported():
                     overflow = alive_count > stage_width
                     jax.lax.cond(
                         overflow,

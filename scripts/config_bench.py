@@ -98,6 +98,33 @@ def main() -> None:
             t0 = time.time(); run(s); samples.append(time.time() - t0)
         steady = min(samples)
 
+        # DEVICE-execution time: the axon tunnel charges ~15-30 ms RTT per
+        # dispatch+fetch, which floors small-config wall clocks regardless
+        # of device speed (2_spheres renders in <1 ms of device time under a
+        # ~30 ms round trip). Iterate the render N times inside ONE jitted
+        # program (seed-varied fori_loop — exactly BenchmarkTools'
+        # many-evaluations-per-sample methodology, and the reference's CPU
+        # numbers pay no tunnel either) and take the slope vs the single
+        # run: RTT cancels. Both numbers are recorded; wall_s stays the
+        # headline for end-to-end honesty.
+        n_loop = 32 if steady < 0.1 else 8
+
+        @jax.jit
+        def run_loop(seed0):
+            def body(i, acc):
+                return acc + rtw.render_radiance(
+                    scene, cam, W, spp, image_height=H, seed=seed0 + i,
+                    persistent=True).sum()
+            return jax.lax.fori_loop(0, n_loop, body, jnp.float32(0))
+
+        float(run_loop(jnp.int32(100)))  # compile
+        loop_samples = []
+        for s in (101, 102, 103):
+            t0 = time.time()
+            float(run_loop(jnp.int32(s)))
+            loop_samples.append(time.time() - t0)
+        dev_iter = max((min(loop_samples) - steady) / (n_loop - 1), 1e-9)
+
         mpaths = paths / steady / 1e6
         anchor = REF_ANCHORS.get(label)
         rec = {"ts": time.time(), "label": f"config_{label}",
@@ -108,8 +135,13 @@ def main() -> None:
                "n_repeats": len(samples),
                "img_fetch_s": round(img_fetch_s, 4),
                "warm_s": round(warm, 1),
+               "device_loop_n": n_loop,
+               "device_iter_s": round(dev_iter, 6),
+               "device_mpaths_per_s": round(paths / dev_iter / 1e6, 3),
                "ref_anchor_s": round(anchor, 4) if anchor else None,
                "vs_ref_anchor": round(anchor / steady, 1) if anchor else None,
+               "vs_ref_anchor_device": round(anchor / dev_iter, 1)
+               if anchor else None,
                "device": str(jax.devices()[0])}
         append_history(rec, hist)
         rows.append(rec)
