@@ -60,11 +60,21 @@ def auto_pixel_chunk(n_pix: int, max_depth: int,
     if bytes_per_ray_bounce is None:
         bytes_per_ray_bounce = _RECORD_BYTES_PER_RAY_BOUNCE
     r_max = budget // (bytes_per_ray_bounce * max(max_depth, 1))
+    # Soft cap besides HBM: ~1M-ray chunks measured fastest (full-image
+    # 2M-ray records run 2-3x slower — bench_history grad_step_fused_full /
+    # grad_step_recorded_full rows — from record-buffer memory pressure).
+    r_max = min(r_max, 1 << 20)
     if n_pix <= r_max:
         return None
-    # Chunks are padded to equal size by render_radiance; keep them
-    # lane-aligned (8192 = one (64,128) Pallas block).
-    return max(8192, (r_max // 8192) * 8192)
+    # BALANCE the chunks: every chunk is padded to the chunk size and pays
+    # full kernel cost, so ceil-dividing the image into the fewest equal
+    # chunks beats a power-of-two chunk with a mostly-padding tail (measured:
+    # 1920x1080 with a 1M chunk makes 3 chunks, the third 93% dead lanes —
+    # 568 ms/step; two balanced chunks cost ~2/3 of that). Lane-aligned to
+    # 8192 = one (64,128) Pallas block.
+    n_chunks = -(-n_pix // r_max)
+    chunk = -(-n_pix // n_chunks)
+    return max(8192, -(-chunk // 8192) * 8192)
 
 
 class SceneGrads(NamedTuple):

@@ -105,9 +105,14 @@ def main() -> None:
         ("fused_full",
          dict(remat=False, recorded=True, recorded_fused=True,
               pixel_chunk=None)),
-        # Staged fused: compact the wavefront at bounce boundaries — the
-        # fused path is sweep-bound (unlike the XLA recorded path, where
-        # staging measured negative), so width cuts pay ~proportionally.
+        # Auto chunking: balanced equal chunks (2x ~1.04M for the flagship)
+        # — a 1M power-of-two chunk makes a third chunk that is 93% padding.
+        ("fused_auto",
+         dict(remat=False, recorded=True, recorded_fused=True)),
+        # Staged fused: compact the wavefront at bounce boundaries —
+        # measured NEGATIVE (2.39 vs 3.65 unstaged): XLA gathers/scatters
+        # at 1M scale cost 40-500 ms, dwarfing the ~90 ms of sweep they
+        # save (same root cause as the XLA staged negative).
         ("fused_staged_default_chunk1m",
          dict(remat=False, recorded=True, recorded_fused=True,
               pixel_chunk=1 << 20,
