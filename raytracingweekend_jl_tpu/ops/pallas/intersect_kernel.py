@@ -98,6 +98,74 @@ def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return x.reshape(rows, LANES)
 
 
+# ---------------------------------------------------------------------------
+# Occupancy-masked sweep: skip all-dead blocks
+# ---------------------------------------------------------------------------
+
+def _sweep_masked_kernel(cx_ref, cy_ref, cz_ref, ck_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         alive_ref, t_ref, idx_ref,
+                         *, n_spheres: int, tmin: float):
+    """The flat sweep with a per-BLOCK occupancy guard: when no lane in the
+    (BLOCK_ROWS, 128) tile is alive, the whole sphere loop is skipped and the
+    outputs are filled with miss values. Camera-ray deaths are spatially
+    correlated (sky rows die at bounce 1, plain-ground rows by bounce 2-3),
+    so with row-major wavefronts the guard eliminates most of the full-width
+    sweeps the fixed-depth record forward pays after the first few bounces
+    (flagship occupancy [1, .84, .37, .22, .14, ...])."""
+    anyalive = jnp.any(alive_ref[:] != 0)
+
+    @pl.when(anyalive)
+    def _sweep_block():
+        _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref, ox_ref, oy_ref, oz_ref,
+                      dx_ref, dy_ref, dz_ref, t_ref, idx_ref,
+                      n_spheres=n_spheres, tmin=tmin)
+
+    @pl.when(jnp.logical_not(anyalive))
+    def _skip_block():
+        t_ref[:] = jnp.full(t_ref.shape, jnp.float32(BIG))
+        idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("tmin", "interpret"))
+def sweep_masked(origin, direction, alive, centers, radius, tmin,
+                 interpret=False):
+    """Occupancy-masked sweep over flat [R] rays; ``alive`` int32/bool [R].
+    Forward-only (no VJP): built for the record phase of the fused gradient
+    path, whose custom VJP replays the recorded t instead of differentiating
+    the sweep. Returns (t, idx) with t=BIG on dead lanes' skipped blocks."""
+    R = origin.shape[0]
+    ck = jnp.sum(centers * centers, axis=-1) - radius * radius
+    n_spheres = centers.shape[0]
+    rows = -(-R // LANES)
+    rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    grid = rows // BLOCK_ROWS
+
+    ray_planes = [
+        _pad_rows(origin[:, 0], rows), _pad_rows(origin[:, 1], rows),
+        _pad_rows(origin[:, 2], rows),
+        _pad_rows(direction[:, 0], rows), _pad_rows(direction[:, 1], rows),
+        _pad_rows(direction[:, 2], rows),
+        _pad_rows(alive.astype(jnp.int32), rows),
+    ]
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_refs: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[ray_spec] * 7,
+        out_specs=[ray_spec, ray_spec],
+    )
+    t, idx = pl.pallas_call(
+        partial(_sweep_masked_kernel, n_spheres=n_spheres, tmin=tmin),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(centers[:, 0], centers[:, 1], centers[:, 2], ck, *ray_planes)
+    return t.reshape(-1)[:R], idx.reshape(-1)[:R]
+
+
 @partial(jax.jit, static_argnames=("tmin", "interpret"))
 def _sweep_forward(origin, direction, centers, ck, tmin, interpret=False):
     R = origin.shape[0]

@@ -196,3 +196,33 @@ def test_fused_fetch_grads():
     hit0 = np.asarray(ref.hit) & (np.asarray(ref.index) == 0)
     expect = np.asarray(ref.t)[hit0].sum()
     np.testing.assert_allclose(float(grads[2][0, 0]), expect, rtol=1e-4)
+
+
+def test_sweep_masked_matches_sweep():
+    """Occupancy-masked sweep == plain sweep on alive lanes; dead BLOCKS
+    (block-aligned all-dead regions) return miss sentinels."""
+    from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import (
+        sweep_masked, BLOCK_ROWS, LANES)
+    scene = scene_random_spheres(seed=1)
+    n = 2 * BLOCK_ROWS * LANES  # two grid blocks
+    o, d = random_rays(n, seed=7, box=6.0)
+    # Second block entirely dead, first block mixed.
+    alive = np.ones(n, dtype=np.int32)
+    alive[n // 2:] = 0
+    g = np.random.default_rng(9)
+    alive[: n // 2] = g.integers(0, 2, n // 2)
+    alive = jnp.asarray(alive)
+
+    ref = intersect_spheres(o, d, scene)
+    t, idx = sweep_masked(o, d, alive, scene.center, scene.radius, 1e-4,
+                          interpret=True)
+    t, idx = np.asarray(t), np.asarray(idx)
+    # First (mixed) block: full sweep semantics regardless of per-lane alive.
+    hit = np.asarray(ref.hit)[: n // 2]
+    np.testing.assert_allclose(t[: n // 2][hit], np.asarray(ref.t)[: n // 2][hit],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(idx[: n // 2][hit],
+                                  np.asarray(ref.index)[: n // 2][hit])
+    # Dead block: sentinel misses.
+    assert (t[n // 2:] >= 1e30).all()
+    assert (idx[n // 2:] == 0).all()
