@@ -185,6 +185,224 @@ def record_shade_step(state: tuple, rec: tuple, t, attrs10_planes,
     return tuple(outs[:n_state]), tuple(outs[n_state:])
 
 
+def _bounce_adjoint(u5, vals, g3, cots, hitm, missm):
+    """Hand-written adjoint of one recorded bounce (the transpose of
+    _shade_core + the masked state advance), shared by the fixed-depth and
+    persistent replay kernels.
+
+    ``hitm`` marks lanes whose state ADVANCED this bounce (hit & continued);
+    ``missm`` marks lanes that banked ``T * sky(d)`` into the radiance this
+    bounce. Carried cotangents ``cots`` must already be zeroed on lanes whose
+    forward chain was cut (persistent regen boundaries / inactive lanes);
+    fixed-depth callers pass them through unchanged (dead lanes' passthrough
+    identity carries them). Returns ``(cot9, dattr9)``: the cotangents w.r.t.
+    this bounce's input (origin, direction, throughput) and the 9 per-ray
+    sphere-attribute cotangent rows (center, radius, albedo, fuzz, ir)."""
+    (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, t, attrs) = vals
+    (acx, acy, acz, arr, aar, aag, aab, afz, air, amt) = attrs
+    grx, gry, grz = g3
+    (gox_, goy_, goz_, gdx_, gdy_, gdz_, gTx_, gTy_, gTz_) = cots
+    hf = hitm.astype(jnp.float32)
+    mf = missm.astype(jnp.float32)
+
+    # ---- recompute forward intermediates (mirror of _shade_core) ----
+    ts = jnp.where(hitm, t, 1.0)
+    px = ox + ts * dx
+    py = oy + ts * dy
+    pz = oz + ts * dz
+    inv_r = jnp.where(arr == 0, 0.0, 1.0 / jnp.where(arr == 0, 1.0, arr))
+    nox = (px - acx) * inv_r
+    noy = (py - acy) * inv_r
+    noz = (pz - acz) * inv_r
+    ddn = dx * nox + dy * noy + dz * noz
+    front = ddn < 0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nox * sgn, noy * sgn, noz * sgn
+    g0, g1, g2 = _gauss3(u5[0], u5[1], u5[2], u5[3])
+    gnorm = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
+    ux, uy, uz = g0 * gnorm, g1 * gnorm, g2 * gnorm
+    xi = u5[4]
+    # lambert
+    lx, ly, lz = nx + ux, ny + uy, nz + uz
+    lsq = lx * lx + ly * ly + lz * lz
+    degen = lsq < 1e-5
+    lno = jax.lax.rsqrt(jnp.maximum(lsq, 1e-20))
+    lamx = jnp.where(degen, nx, lx * lno)
+    lamy = jnp.where(degen, ny, ly * lno)
+    lamz = jnp.where(degen, nz, lz * lno)
+    # metal
+    dn = dx * nx + dy * ny + dz * nz
+    refx = dx - 2.0 * dn * nx
+    refy = dy - 2.0 * dn * ny
+    refz = dz - 2.0 * dn * nz
+    mxv = refx + afz * ux
+    myv = refy + afz * uy
+    mzv = refz + afz * uz
+    mno = jax.lax.rsqrt(jnp.maximum(mxv * mxv + myv * myv + mzv * mzv, 1e-20))
+    metx, mety, metz = mxv * mno, myv * mno, mzv * mno
+    # dielectric
+    safe_ir = jnp.where(air == 0, 1.0, air)
+    eta = jnp.where(front, 1.0 / safe_ir, safe_ir)
+    ct = jnp.minimum(-dn, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    cannot = eta * sin_t > 1.0
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    omc = 1.0 - ct
+    omc2 = omc * omc
+    schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+    choose_ref = cannot | (schlick > xi)
+    rpx = eta * (dx + ct * nx)
+    rpy = eta * (dy + ct * ny)
+    rpz = eta * (dz + ct * nz)
+    S = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
+    par = -jnp.sqrt(jnp.abs(S))
+    fx = rpx + par * nx
+    fy = rpy + par * ny
+    fz_ = rpz + par * nz
+    fno = jax.lax.rsqrt(jnp.maximum(fx * fx + fy * fy + fz_ * fz_, 1e-20))
+    frx, fry, frz = fx * fno, fy * fno, fz_ * fno
+    is_lam = amt == 0
+    is_met = amt == 1
+    is_diel = (~is_lam) & (~is_met)
+
+    # ---- adjoint ----
+    nhf = 1.0 - hf
+    # o' = hitm ? p : o ; d' = hitm ? nd : d ; T' = hitm ? T*A : T
+    gpx, gpy, gpz = hf * gox_, hf * goy_, hf * goz_
+    go_x, go_y, go_z = nhf * gox_, nhf * goy_, nhf * goz_
+    gndx, gndy, gndz = hf * gdx_, hf * gdy_, hf * gdz_
+    gd_x, gd_y, gd_z = nhf * gdx_, nhf * gdy_, nhf * gdz_
+    gTx = gTx_ * jnp.where(hitm, aar, 1.0)
+    gTy = gTy_ * jnp.where(hitm, aag, 1.0)
+    gTz = gTz_ * jnp.where(hitm, aab, 1.0)
+    gA_r, gA_g, gA_b = hf * gTx_ * Tx, hf * gTy_ * Ty, hf * gTz_ * Tz
+    # miss lanes banked rad += T * sky(d); sky = (1-0.5s, 1-0.3s, 1), s=0.5(dy+1)
+    sth = 0.5 * (dy + 1.0)
+    gTx = gTx + mf * grx * (1.0 - 0.5 * sth)
+    gTy = gTy + mf * gry * (1.0 - 0.3 * sth)
+    gTz = gTz + mf * grz
+    g_sth = mf * (grx * Tx * (-0.5) + gry * Ty * (-0.3))
+    gd_y = gd_y + 0.5 * g_sth
+
+    # route nd cotangent to the selected material branch
+    lamf = is_lam.astype(jnp.float32)
+    metf = is_met.astype(jnp.float32)
+    dief = is_diel.astype(jnp.float32)
+    glx_r, gly_r, glz_r = lamf * gndx, lamf * gndy, lamf * gndz
+    gmx_r, gmy_r, gmz_r = metf * gndx, metf * gndy, metf * gndz
+    gqx, gqy, gqz = dief * gndx, dief * gndy, dief * gndz
+
+    # lambert: lam = degen ? n : l * lno (u constant)
+    dotl = lamx * glx_r + lamy * gly_r + lamz * glz_r
+    ndegf = 1.0 - degen.astype(jnp.float32)
+    glx = ndegf * lno * (glx_r - lamx * dotl)
+    gly = ndegf * lno * (gly_r - lamy * dotl)
+    glz = ndegf * lno * (glz_r - lamz * dotl)
+    degf = degen.astype(jnp.float32)
+    gn_x = glx + degf * glx_r
+    gn_y = gly + degf * gly_r
+    gn_z = glz + degf * glz_r
+
+    # metal: met = m * mno; m = refl + fz * u
+    dotm = metx * gmx_r + mety * gmy_r + metz * gmz_r
+    gmx = mno * (gmx_r - metx * dotm)
+    gmy = mno * (gmy_r - mety * dotm)
+    gmz = mno * (gmz_r - metz * dotm)
+    gfz = ux * gmx + uy * gmy + uz * gmz
+    grefl_x, grefl_y, grefl_z = gmx, gmy, gmz
+
+    # dielectric select (coin/TIR detached)
+    crf = choose_ref.astype(jnp.float32)
+    grefl_x = grefl_x + crf * gqx
+    grefl_y = grefl_y + crf * gqy
+    grefl_z = grefl_z + crf * gqz
+    ncrf = 1.0 - crf
+    gfr_x, gfr_y, gfr_z = ncrf * gqx, ncrf * gqy, ncrf * gqz
+    # fr = f * fno
+    dotf = frx * gfr_x + fry * gfr_y + frz * gfr_z
+    gf_x = fno * (gfr_x - frx * dotf)
+    gf_y = fno * (gfr_y - fry * dotf)
+    gf_z = fno * (gfr_z - frz * dotf)
+    # f = rp + par * n
+    grp_x, grp_y, grp_z = gf_x, gf_y, gf_z
+    gpar = nx * gf_x + ny * gf_y + nz * gf_z
+    gn_x = gn_x + par * gf_x
+    gn_y = gn_y + par * gf_y
+    gn_z = gn_z + par * gf_z
+    # par = -sqrt(|S|)
+    sgnS = jnp.where(S >= 0, 1.0, -1.0)
+    gS = gpar * (-sgnS * 0.5
+                 * jax.lax.rsqrt(jnp.maximum(jnp.abs(S), 1e-12)))
+    # S = 1 - rp.rp
+    grp_x = grp_x - 2.0 * rpx * gS
+    grp_y = grp_y - 2.0 * rpy * gS
+    grp_z = grp_z - 2.0 * rpz * gS
+    # rp = eta * (d + ct * n)
+    geta = ((dx + ct * nx) * grp_x + (dy + ct * ny) * grp_y
+            + (dz + ct * nz) * grp_z)
+    gd_x = gd_x + eta * grp_x
+    gd_y = gd_y + eta * grp_y
+    gd_z = gd_z + eta * grp_z
+    gct = eta * (nx * grp_x + ny * grp_y + nz * grp_z)
+    gn_x = gn_x + eta * ct * grp_x
+    gn_y = gn_y + eta * ct * grp_y
+    gn_z = gn_z + eta * ct * grp_z
+    # ct = min(-dn, 1): pass-through where -dn < 1
+    gdn = jnp.where(-dn < 1.0, -gct, 0.0)
+    # eta = front ? 1/safe_ir : safe_ir
+    gir = jnp.where(front, -geta / (safe_ir * safe_ir), geta)
+    # refl = d - 2 dn n (metal + diel-reflect)
+    gdn = gdn - 2.0 * (nx * grefl_x + ny * grefl_y + nz * grefl_z)
+    gn_x = gn_x - 2.0 * dn * grefl_x
+    gn_y = gn_y - 2.0 * dn * grefl_y
+    gn_z = gn_z - 2.0 * dn * grefl_z
+    gd_x = gd_x + grefl_x
+    gd_y = gd_y + grefl_y
+    gd_z = gd_z + grefl_z
+    # dn = d . n
+    gd_x = gd_x + gdn * nx
+    gd_y = gd_y + gdn * ny
+    gd_z = gd_z + gdn * nz
+    gn_x = gn_x + gdn * dx
+    gn_y = gn_y + gdn * dy
+    gn_z = gn_z + gdn * dz
+    # n = sgn * n_out; n_out = (p - c) * inv_r
+    gno_x, gno_y, gno_z = sgn * gn_x, sgn * gn_y, sgn * gn_z
+    gpx = gpx + gno_x * inv_r
+    gpy = gpy + gno_y * inv_r
+    gpz = gpz + gno_z * inv_r
+    gc_x = -gno_x * inv_r
+    gc_y = -gno_y * inv_r
+    gc_z = -gno_z * inv_r
+    gr = -(nox * gno_x + noy * gno_y + noz * gno_z) * inv_r
+    # p = o + ts d
+    go_x = go_x + gpx
+    go_y = go_y + gpy
+    go_z = go_z + gpz
+    gd_x = gd_x + ts * gpx
+    gd_y = gd_y + ts * gpy
+    gd_z = gd_z + ts * gpz
+    gt = dx * gpx + dy * gpy + dz * gpz
+    # implicit hit distance at the recorded winner (intersect_kernel VJP forms)
+    psx, psy, psz = px - acx, py - acy, pz - acz
+    pd = psx * dx + psy * dy + psz * dz
+    ok = hitm & (jnp.abs(pd) > 1e-12)
+    scl = jnp.where(ok, gt / jnp.where(jnp.abs(pd) > 1e-12, pd, 1.0), 0.0)
+    go_x = go_x - scl * psx
+    go_y = go_y - scl * psy
+    go_z = go_z - scl * psz
+    gd_x = gd_x - scl * ts * psx
+    gd_y = gd_y - scl * ts * psy
+    gd_z = gd_z - scl * ts * psz
+    gc_x = gc_x + scl * psx
+    gc_y = gc_y + scl * psy
+    gc_z = gc_z + scl * psz
+    gr = gr + scl * arr
+    return ((go_x, go_y, go_z, gd_x, gd_y, gd_z, gTx, gTy, gTz),
+            (gc_x, gc_y, gc_z, gr, gA_r, gA_g, gA_b, gfz, gir))
+
+
 # ---------------------------------------------------------------------------
 # Replay kernel: hand-written adjoint of the recorded bounce
 # ---------------------------------------------------------------------------
@@ -224,225 +442,19 @@ def _replay_bwd_kernel(b_ref, seed_ref, *refs, hw_prng: bool):
         else:
             u5 = u5_ref[:]
 
-        ox, oy, oz = rec[0][0], rec[1][0], rec[2][0]
-        dx, dy, dz = rec[3][0], rec[4][0], rec[5][0]
-        Tx, Ty, Tz = rec[6][0], rec[7][0], rec[8][0]
-        t = rec[9][0]
+        vals = tuple(r[0] for r in rec[0:10]) \
+            + (tuple(r[0] for r in rec[11:21]),)
         af = rec[10][0]
-        (acx, acy, acz, arr, aar, aag, aab, afz, air, amt) = \
-            tuple(r[0] for r in rec[11:21])
-        grx, gry, grz = grad3[0][:], grad3[1][:], grad3[2][:]
-        gox_, goy_, goz_ = cot_in[0][:], cot_in[1][:], cot_in[2][:]
-        gdx_, gdy_, gdz_ = cot_in[3][:], cot_in[4][:], cot_in[5][:]
-        gTx_, gTy_, gTz_ = cot_in[6][:], cot_in[7][:], cot_in[8][:]
-
         active = af != 0
-        hit = t < jnp.float32(BIG)
+        hit = rec[9][0] < jnp.float32(BIG)
         hitm = hit & active
         missm = active & ~hit
-        hf = hitm.astype(jnp.float32)
-        mf = missm.astype(jnp.float32)
-
-        # ---- recompute forward intermediates (mirror of _shade_core) ----
-        ts = jnp.where(hitm, t, 1.0)
-        px = ox + ts * dx
-        py = oy + ts * dy
-        pz = oz + ts * dz
-        inv_r = jnp.where(arr == 0, 0.0, 1.0 / jnp.where(arr == 0, 1.0, arr))
-        nox = (px - acx) * inv_r
-        noy = (py - acy) * inv_r
-        noz = (pz - acz) * inv_r
-        ddn = dx * nox + dy * noy + dz * noz
-        front = ddn < 0
-        sgn = jnp.where(front, 1.0, -1.0)
-        nx, ny, nz = nox * sgn, noy * sgn, noz * sgn
-        g0, g1, g2 = _gauss3(u5[0], u5[1], u5[2], u5[3])
-        gnorm = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
-        ux, uy, uz = g0 * gnorm, g1 * gnorm, g2 * gnorm
-        xi = u5[4]
-        # lambert
-        lx, ly, lz = nx + ux, ny + uy, nz + uz
-        lsq = lx * lx + ly * ly + lz * lz
-        degen = lsq < 1e-5
-        lno = jax.lax.rsqrt(jnp.maximum(lsq, 1e-20))
-        lamx = jnp.where(degen, nx, lx * lno)
-        lamy = jnp.where(degen, ny, ly * lno)
-        lamz = jnp.where(degen, nz, lz * lno)
-        # metal
-        dn = dx * nx + dy * ny + dz * nz
-        refx = dx - 2.0 * dn * nx
-        refy = dy - 2.0 * dn * ny
-        refz = dz - 2.0 * dn * nz
-        mxv = refx + afz * ux
-        myv = refy + afz * uy
-        mzv = refz + afz * uz
-        mno = jax.lax.rsqrt(jnp.maximum(mxv * mxv + myv * myv + mzv * mzv, 1e-20))
-        metx, mety, metz = mxv * mno, myv * mno, mzv * mno
-        # dielectric
-        safe_ir = jnp.where(air == 0, 1.0, air)
-        eta = jnp.where(front, 1.0 / safe_ir, safe_ir)
-        ct = jnp.minimum(-dn, 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
-        cannot = eta * sin_t > 1.0
-        r0 = (1.0 - eta) / (1.0 + eta)
-        r0 = r0 * r0
-        omc = 1.0 - ct
-        omc2 = omc * omc
-        schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
-        choose_ref = cannot | (schlick > xi)
-        rpx = eta * (dx + ct * nx)
-        rpy = eta * (dy + ct * ny)
-        rpz = eta * (dz + ct * nz)
-        S = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
-        par = -jnp.sqrt(jnp.abs(S))
-        fx = rpx + par * nx
-        fy = rpy + par * ny
-        fz_ = rpz + par * nz
-        fno = jax.lax.rsqrt(jnp.maximum(fx * fx + fy * fy + fz_ * fz_, 1e-20))
-        frx, fry, frz = fx * fno, fy * fno, fz_ * fno
-        is_lam = amt == 0
-        is_met = amt == 1
-        is_diel = (~is_lam) & (~is_met)
-
-        # ---- adjoint ----
-        nhf = 1.0 - hf
-        # o' = hitm ? p : o ; d' = hitm ? nd : d ; T' = hitm ? T*A : T
-        gpx, gpy, gpz = hf * gox_, hf * goy_, hf * goz_
-        go_x, go_y, go_z = nhf * gox_, nhf * goy_, nhf * goz_
-        gndx, gndy, gndz = hf * gdx_, hf * gdy_, hf * gdz_
-        gd_x, gd_y, gd_z = nhf * gdx_, nhf * gdy_, nhf * gdz_
-        gTx = gTx_ * jnp.where(hitm, aar, 1.0)
-        gTy = gTy_ * jnp.where(hitm, aag, 1.0)
-        gTz = gTz_ * jnp.where(hitm, aab, 1.0)
-        gA_r, gA_g, gA_b = hf * gTx_ * Tx, hf * gTy_ * Ty, hf * gTz_ * Tz
-        # miss lanes banked rad += T * sky(d); sky = (1-0.5s, 1-0.3s, 1), s=0.5(dy+1)
-        sth = 0.5 * (dy + 1.0)
-        gTx = gTx + mf * grx * (1.0 - 0.5 * sth)
-        gTy = gTy + mf * gry * (1.0 - 0.3 * sth)
-        gTz = gTz + mf * grz
-        g_sth = mf * (grx * Tx * (-0.5) + gry * Ty * (-0.3))
-        gd_y = gd_y + 0.5 * g_sth
-
-        # route nd cotangent to the selected material branch
-        lamf = is_lam.astype(jnp.float32)
-        metf = is_met.astype(jnp.float32)
-        dief = is_diel.astype(jnp.float32)
-        glx_r, gly_r, glz_r = lamf * gndx, lamf * gndy, lamf * gndz
-        gmx_r, gmy_r, gmz_r = metf * gndx, metf * gndy, metf * gndz
-        gqx, gqy, gqz = dief * gndx, dief * gndy, dief * gndz
-
-        # lambert: lam = degen ? n : l * lno (u constant)
-        dotl = lamx * glx_r + lamy * gly_r + lamz * glz_r
-        ndegf = 1.0 - degen.astype(jnp.float32)
-        glx = ndegf * lno * (glx_r - lamx * dotl)
-        gly = ndegf * lno * (gly_r - lamy * dotl)
-        glz = ndegf * lno * (glz_r - lamz * dotl)
-        degf = degen.astype(jnp.float32)
-        gn_x = glx + degf * glx_r
-        gn_y = gly + degf * gly_r
-        gn_z = glz + degf * glz_r
-
-        # metal: met = m * mno; m = refl + fz * u
-        dotm = metx * gmx_r + mety * gmy_r + metz * gmz_r
-        gmx = mno * (gmx_r - metx * dotm)
-        gmy = mno * (gmy_r - mety * dotm)
-        gmz = mno * (gmz_r - metz * dotm)
-        gfz = ux * gmx + uy * gmy + uz * gmz
-        grefl_x, grefl_y, grefl_z = gmx, gmy, gmz
-
-        # dielectric select (coin/TIR detached)
-        crf = choose_ref.astype(jnp.float32)
-        grefl_x = grefl_x + crf * gqx
-        grefl_y = grefl_y + crf * gqy
-        grefl_z = grefl_z + crf * gqz
-        ncrf = 1.0 - crf
-        gfr_x, gfr_y, gfr_z = ncrf * gqx, ncrf * gqy, ncrf * gqz
-        # fr = f * fno
-        dotf = frx * gfr_x + fry * gfr_y + frz * gfr_z
-        gf_x = fno * (gfr_x - frx * dotf)
-        gf_y = fno * (gfr_y - fry * dotf)
-        gf_z = fno * (gfr_z - frz * dotf)
-        # f = rp + par * n
-        grp_x, grp_y, grp_z = gf_x, gf_y, gf_z
-        gpar = nx * gf_x + ny * gf_y + nz * gf_z
-        gn_x = gn_x + par * gf_x
-        gn_y = gn_y + par * gf_y
-        gn_z = gn_z + par * gf_z
-        # par = -sqrt(|S|)
-        sgnS = jnp.where(S >= 0, 1.0, -1.0)
-        gS = gpar * (-sgnS * 0.5
-                     * jax.lax.rsqrt(jnp.maximum(jnp.abs(S), 1e-12)))
-        # S = 1 - rp.rp
-        grp_x = grp_x - 2.0 * rpx * gS
-        grp_y = grp_y - 2.0 * rpy * gS
-        grp_z = grp_z - 2.0 * rpz * gS
-        # rp = eta * (d + ct * n)
-        geta = ((dx + ct * nx) * grp_x + (dy + ct * ny) * grp_y
-                + (dz + ct * nz) * grp_z)
-        gd_x = gd_x + eta * grp_x
-        gd_y = gd_y + eta * grp_y
-        gd_z = gd_z + eta * grp_z
-        gct = eta * (nx * grp_x + ny * grp_y + nz * grp_z)
-        gn_x = gn_x + eta * ct * grp_x
-        gn_y = gn_y + eta * ct * grp_y
-        gn_z = gn_z + eta * ct * grp_z
-        # ct = min(-dn, 1): pass-through where -dn < 1
-        gdn = jnp.where(-dn < 1.0, -gct, 0.0)
-        # eta = front ? 1/safe_ir : safe_ir
-        gir = jnp.where(front, -geta / (safe_ir * safe_ir), geta)
-        # refl = d - 2 dn n (metal + diel-reflect)
-        gdn = gdn - 2.0 * (nx * grefl_x + ny * grefl_y + nz * grefl_z)
-        gn_x = gn_x - 2.0 * dn * grefl_x
-        gn_y = gn_y - 2.0 * dn * grefl_y
-        gn_z = gn_z - 2.0 * dn * grefl_z
-        gd_x = gd_x + grefl_x
-        gd_y = gd_y + grefl_y
-        gd_z = gd_z + grefl_z
-        # dn = d . n
-        gd_x = gd_x + gdn * nx
-        gd_y = gd_y + gdn * ny
-        gd_z = gd_z + gdn * nz
-        gn_x = gn_x + gdn * dx
-        gn_y = gn_y + gdn * dy
-        gn_z = gn_z + gdn * dz
-        # n = sgn * n_out; n_out = (p - c) * inv_r
-        gno_x, gno_y, gno_z = sgn * gn_x, sgn * gn_y, sgn * gn_z
-        gpx = gpx + gno_x * inv_r
-        gpy = gpy + gno_y * inv_r
-        gpz = gpz + gno_z * inv_r
-        gc_x = -gno_x * inv_r
-        gc_y = -gno_y * inv_r
-        gc_z = -gno_z * inv_r
-        gr = -(nox * gno_x + noy * gno_y + noz * gno_z) * inv_r
-        # p = o + ts d
-        go_x = go_x + gpx
-        go_y = go_y + gpy
-        go_z = go_z + gpz
-        gd_x = gd_x + ts * gpx
-        gd_y = gd_y + ts * gpy
-        gd_z = gd_z + ts * gpz
-        gt = dx * gpx + dy * gpy + dz * gpz
-        # implicit hit distance at the recorded winner (intersect_kernel VJP forms)
-        psx, psy, psz = px - acx, py - acy, pz - acz
-        pd = psx * dx + psy * dy + psz * dz
-        ok = hitm & (jnp.abs(pd) > 1e-12)
-        scl = jnp.where(ok, gt / jnp.where(jnp.abs(pd) > 1e-12, pd, 1.0), 0.0)
-        go_x = go_x - scl * psx
-        go_y = go_y - scl * psy
-        go_z = go_z - scl * psz
-        gd_x = gd_x - scl * ts * psx
-        gd_y = gd_y - scl * ts * psy
-        gd_z = gd_z - scl * ts * psz
-        gc_x = gc_x + scl * psx
-        gc_y = gc_y + scl * psy
-        gc_z = gc_z + scl * psz
-        gr = gr + scl * arr
-
-        for ref, val in zip(cot_out, (go_x, go_y, go_z, gd_x, gd_y, gd_z,
-                                      gTx, gTy, gTz)):
+        cot9, dattr9 = _bounce_adjoint(
+            u5, vals, tuple(g[:] for g in grad3),
+            tuple(c[:] for c in cot_in), hitm, missm)
+        for ref, val in zip(cot_out, cot9):
             ref[:] = val
-        for ref, val in zip(dattr_out, (gc_x, gc_y, gc_z, gr,
-                                        gA_r, gA_g, gA_b, gfz, gir)):
+        for ref, val in zip(dattr_out, dattr9):
             ref[:] = val
 
 
