@@ -1,0 +1,606 @@
+"""Persistent-record gradient kernels: strip-refilled record/replay.
+
+The fixed-depth fused record path (grad_kernel.py) pays ``max_depth``
+full-width sweeps although the flagship mean path length is 3.15 bounces —
+after bounce 3 over 3/4 of the wavefront is dead weight (measured occupancy
+[1, .84, .37, .22, .14, ...], docs/ROADMAP.md). XLA-level compaction was
+measured NEGATIVE twice (gather/scatter cost dominates), so this module keeps
+lanes full the way the production forward does
+(``persistent_render_sum_strided``): each lane owns ``n_strips`` rays spaced
+``W`` apart and REFILLS IN PLACE when its path terminates, recording
+per-ITERATION residuals instead of per-bounce ones. Lane-iterations drop from
+``max_depth * R`` to ``~mean_path * n_strips * W * slack`` — ~3x fewer sweeps
+— at the cost of a slack-bounded iteration budget (see the overflow contract
+below).
+
+Per iteration the record kernel consumes the occupancy-masked sweep result
+and advances a 12-plane state machine (o, d, throughput, bounce counter,
+strip counter, active), banking ``T * sky(d)`` into the terminating ray's
+strip radiance plane and selecting the next strip's ray on regeneration. It
+writes this iteration's residual record — input (o, d, T), sweep t, the
+winning sphere's 10 attribute rows, and one packed int32 flag plane
+(act | hit<<1 | term<<2 | regen<<3 | strip<<4).
+
+The replay kernel walks iterations in REVERSE, reusing the fixed-depth
+path's hand-written bounce adjoint (``grad_kernel._bounce_adjoint``) with
+persistent masks: carried (o, d, T) cotangents are DEPOSITED into the
+started strip's ray-gradient planes and zeroed at regen boundaries (the
+forward chain is cut there — the fresh ray is not a function of the dead
+path), radiance gradients are STRIP-SELECTED from ``g_rad`` reshaped
+``[n_strips, W]`` (a layout transform, no gather — ray id = strip * W +
+lane), and sky injection happens at miss-termination iterations. Per-ray
+sphere-attribute cotangent rows go through the same exact bf16-split MXU
+contraction as the fixed-depth path.
+
+Overflow contract: ``n_iters`` is static (the record buffer's leading axis).
+Lanes whose strips don't all finish within the budget contribute ZERO for the
+truncated/unstarted rays — the primal and the gradient stay self-consistent
+(gradient of the computed primal; unfinished paths never inject), but the
+image is biased low by the dropped paths. The driver returns the dropped-path
+count as an aux output; callers size ``n_iters`` so it is zero (the default
+``5 * n_strips + 8`` covers the flagship distribution with ~60% slack) and
+the budget test asserts the contract.
+
+Gradient semantics (interior gradients, discrete events replayed as
+constants, implicit hit-distance) are identical to trace_recorded_fused;
+reference semantics: /root/reference/src/ray_color.jl:14-38.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..intersect import BIG
+from .intersect_kernel import LANES, _pad_rows
+from .shade_kernel import _shade_core, _uniforms, SHADE_ROWS
+from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
+                          _split3_bf16, _float0_like)
+
+#: flag-plane bit layout (record kernel writes, replay kernel reads)
+_F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
+_F_STRIP_SHIFT = 4
+
+
+def default_n_iters(n_strips: int) -> int:
+    """Iteration budget covering the flagship path-length distribution
+    (mean 3.15 bounces/path) with slack for the max-over-lanes tail."""
+    return 5 * n_strips + 8
+
+
+# ---------------------------------------------------------------------------
+# Record kernel: one persistent iteration + residual record
+# ---------------------------------------------------------------------------
+
+def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
+                           n_strips: int, n_rays: int, w_total: int,
+                           hw_prng: bool):
+    S = n_strips
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    t_ref = refs[0]
+    lane_ref = refs[1]
+    attr_refs = refs[2:12]
+    strip_refs = refs[12:12 + 6 * S]          # o3 then d3, per strip
+    st_in = refs[12 + 6 * S:24 + 6 * S]       # 12 planes
+    rad_in = refs[24 + 6 * S:24 + 9 * S]      # 3S planes (aliased)
+    out = refs[45 + 9 * S:]                   # skip aliased rec inputs (21)
+    st_out = out[0:12]
+    rad_out = out[12:12 + 3 * S]
+    rec_out = out[12 + 3 * S:33 + 3 * S]      # 21 rec slices
+
+    anyactive = jnp.any(st_in[11][:] != 0)
+
+    @pl.when(jnp.logical_not(anyactive))
+    def _passthrough():
+        # Aliased HBM buffers still DMA their VMEM output windows back:
+        # every output must be written explicitly.
+        for ref, src in zip(st_out, st_in):
+            ref[:] = src[:]
+        for ref, src in zip(rad_out, rad_in):
+            ref[:] = src[:]
+        zf = jnp.zeros(st_in[0].shape, jnp.float32)
+        for j, ref in enumerate(rec_out):
+            ref[0] = jnp.zeros(st_in[0].shape, jnp.int32) if j == 10 else zf
+
+    @pl.when(anyactive)
+    def _iterate():
+        if hw_prng:
+            _seed_prng(seed_ref)
+            u5 = _uniforms(t_ref.shape, 5)
+        else:
+            u5 = u5_ref[:]
+
+        ox, oy, oz = st_in[0][:], st_in[1][:], st_in[2][:]
+        dx, dy, dz = st_in[3][:], st_in[4][:], st_in[5][:]
+        tx, ty, tz = st_in[6][:], st_in[7][:], st_in[8][:]
+        bo, sp, act = st_in[9][:], st_in[10][:], st_in[11][:]
+        t = t_ref[:]
+        attrs_vals = tuple(a[:] for a in attr_refs)
+        active = act != 0
+
+        zf = jnp.zeros(t.shape, jnp.float32)
+        (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
+         aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz,
+                                      dx, dy, dz, tx, ty, tz,
+                                      zf, zf, zf, active)
+
+        newb = bo + 1
+        cont = hitm & (newb < max_depth)
+        exhausted = hitm & ~cont
+        term = miss | exhausted
+        nxt_s = sp + 1
+
+        # Lane's global index (for next-strip ray validity: id = s*W + lane).
+        lane = lane_ref[:]
+        can = (term & (nxt_s < S)
+               & (nxt_s * jnp.int32(w_total) + lane < n_rays))
+
+        # Residual record: this iteration's INPUTS + packed events.
+        flags = (act
+                 + (hitm.astype(jnp.int32) << 1)
+                 + (term.astype(jnp.int32) << 2)
+                 + (can.astype(jnp.int32) << 3)
+                 + (sp << _F_STRIP_SHIFT))
+        for ref, val in zip(rec_out,
+                            (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, flags)
+                            + attrs_vals):
+            ref[0] = val
+
+        # Bank the terminating ray's radiance into its strip plane.
+        for c in range(S):
+            sel = miss & (sp == c)
+            sf = sel.astype(jnp.float32)
+            nsf = 1.0 - sf
+            rad_out[3 * c + 0][:] = sf * bkr + nsf * rad_in[3 * c + 0][:]
+            rad_out[3 * c + 1][:] = sf * bkg + nsf * rad_in[3 * c + 1][:]
+            rad_out[3 * c + 2][:] = sf * bkb + nsf * rad_in[3 * c + 2][:]
+
+        # Advance on continue.
+        cf = cont.astype(jnp.float32)
+        ncf = 1.0 - cf
+        ox = cf * px + ncf * ox
+        oy = cf * py + ncf * oy
+        oz = cf * pz + ncf * oz
+        dx = cf * ndx + ncf * dx
+        dy = cf * ndy + ncf * dy
+        dz = cf * ndz + ncf * dz
+        tx = jnp.where(cont, tx * aar, tx)
+        ty = jnp.where(cont, ty * aag, ty)
+        tz = jnp.where(cont, tz * aab, tz)
+        bo = jnp.where(cont, newb, bo)
+
+        # Refill from the next strip's pre-generated ray.
+        canf = can.astype(jnp.float32)
+        nanf = 1.0 - canf
+        for c in range(1, S):
+            sel = (can & (nxt_s == c)).astype(jnp.float32)
+            nsl = 1.0 - sel
+            ox = sel * strip_refs[6 * c + 0][:] + nsl * ox
+            oy = sel * strip_refs[6 * c + 1][:] + nsl * oy
+            oz = sel * strip_refs[6 * c + 2][:] + nsl * oz
+            dx = sel * strip_refs[6 * c + 3][:] + nsl * dx
+            dy = sel * strip_refs[6 * c + 4][:] + nsl * dy
+            dz = sel * strip_refs[6 * c + 5][:] + nsl * dz
+        tx = canf * 1.0 + nanf * tx
+        ty = canf * 1.0 + nanf * ty
+        tz = canf * 1.0 + nanf * tz
+        bo = jnp.where(can, 0, bo)
+        sp = jnp.where(can, nxt_s, sp)
+        act = ((active & ~term) | can).astype(jnp.int32)
+
+        for ref, val in zip(st_out, (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                                     bo, sp, act)):
+            ref[:] = val
+
+
+def persist_record_step(state: tuple, rad: tuple, rec: tuple,
+                        strip_planes: tuple, t, lane_plane, attrs10_planes,
+                        iteration, seed, max_depth: int, n_strips: int,
+                        n_rays: int, interpret: bool = False, u5=None):
+    """One persistent record iteration over padded planes. ``state`` = 12
+    [rows, LANES] planes (o3, d3, thr3, bounce, strip, active); ``rad`` = 3S
+    strip radiance planes; ``rec`` = 21 [n_iters, rows, LANES] buffers,
+    updated in place at slice ``iteration``; ``strip_planes`` = 6S ray
+    planes."""
+    rows = state[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = u5 is None
+    S = n_strips
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda i, b_ref, *_: (b_ref[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5]
+        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    n_state, n_rad, n_rec = 12, 3 * S, 21
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=(rng_specs + [spec] * (12 + 6 * S + n_state + n_rad)
+                  + [rec_spec] * n_rec),
+        out_specs=[spec] * (n_state + n_rad) + [rec_spec] * n_rec,
+    )
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), s.dtype)
+                   for s in state]
+                  + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * n_rad
+                  + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rec])
+    base = 2 + len(rng_planes) + 12 + 6 * S
+    aliases = {base + i: i for i in range(n_state + n_rad)}
+    aliases.update({base + n_state + n_rad + i: n_state + n_rad + i
+                    for i in range(n_rec)})
+
+    outs = pl.pallas_call(
+        partial(_persist_record_kernel, max_depth=max_depth, n_strips=S,
+                n_rays=n_rays, w_total=rows * LANES, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(iteration, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, t, lane_plane, *attrs10_planes, *strip_planes,
+      *state, *rad, *rec)
+    return (tuple(outs[:n_state]),
+            tuple(outs[n_state:n_state + n_rad]),
+            tuple(outs[n_state + n_rad:]))
+
+
+# ---------------------------------------------------------------------------
+# Replay kernel: reverse iteration with regen-boundary cotangent resets
+# ---------------------------------------------------------------------------
+
+def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
+                           hw_prng: bool):
+    S = n_strips
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    rec = refs[0:21]
+    grad_strips = refs[21:21 + 3 * S]
+    cot_in = refs[21 + 3 * S:30 + 3 * S]
+    dep_in = refs[30 + 3 * S:30 + 9 * S]      # 6S deposit planes (aliased)
+    out = refs[30 + 9 * S:]
+    cot_out = out[0:9]
+    dattr_out = out[9:18]
+    dep_out = out[18:18 + 6 * S]
+
+    flags = rec[10][0]
+    anyactive = jnp.any((flags & _F_ACT) != 0)
+
+    @pl.when(jnp.logical_not(anyactive))
+    def _skip():
+        for ref, src in zip(cot_out, cot_in):
+            ref[:] = src[:]
+        z = jnp.zeros(cot_in[0].shape, jnp.float32)
+        for ref in dattr_out:
+            ref[:] = z
+        for ref, src in zip(dep_out, dep_in):
+            ref[:] = src[:]
+
+    @pl.when(anyactive)
+    def _adjoint():
+        if hw_prng:
+            _seed_prng(seed_ref)
+            u5 = _uniforms(rec[0].shape[1:], 5)
+        else:
+            u5 = u5_ref[:]
+
+        act = (flags & _F_ACT) != 0
+        hit = (flags & _F_HIT) != 0
+        term = (flags & _F_TERM) != 0
+        regen = (flags & _F_REGEN) != 0
+        sp = flags >> _F_STRIP_SHIFT
+
+        cots = tuple(c[:] for c in cot_in)
+
+        # Deposit the carried (o, d) cotangent into the strip the regen
+        # started (it is the cotangent of that strip's camera ray); the
+        # initial throughput is the constant 1. Each strip starts at
+        # exactly one iteration per lane, so a masked write suffices.
+        for c in range(1, S):
+            sel = regen & (sp + 1 == c)
+            sf = sel.astype(jnp.float32)
+            nsf = 1.0 - sf
+            for j in range(6):
+                dep_out[6 * c + j][:] = (sf * cots[j]
+                                         + nsf * dep_in[6 * c + j][:])
+        for j in range(6):
+            dep_out[j][:] = dep_in[j][:]
+
+        # Cut the chain where the forward did: regen boundaries and
+        # inactive lanes carry no cotangent into this iteration.
+        czero = term | ~act
+        cots = tuple(jnp.where(czero, 0.0, c) for c in cots)
+
+        # Strip-select this lane's radiance gradient.
+        g3 = [jnp.zeros(flags.shape, jnp.float32)] * 3
+        for c in range(S):
+            sel = (sp == c).astype(jnp.float32)
+            g3 = [g3[j] + sel * grad_strips[3 * c + j][:] for j in range(3)]
+
+        vals = tuple(r[0] for r in rec[0:10]) \
+            + (tuple(r[0] for r in rec[11:21]),)
+        adv = hit & ~term          # state advanced (hit & continued)
+        inject = act & ~hit        # banked T * sky(d) this iteration
+        cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
+        for ref, val in zip(cot_out, cot9):
+            ref[:] = val
+        for ref, val in zip(dattr_out, dattr9):
+            ref[:] = val
+
+
+def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
+                        grad_strips: tuple, iteration, seed, n_strips: int,
+                        interpret: bool = False, u5=None):
+    """One reverse persistent iteration: consumes the iteration's record
+    slice, the carried cotangents, and the strip deposit planes; returns
+    (cot, dep, dattr9)."""
+    rows = cot[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = u5 is None
+    S = n_strips
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda i, b_ref, *_: (b_ref[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5]
+        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=(rng_specs + [rec_spec] * 21
+                  + [spec] * (3 * S + 9 + 6 * S)),
+        out_specs=[spec] * (18 + 6 * S),
+    )
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct((rows, LANES), f32)] * (18 + 6 * S)
+    base = 2 + len(rng_planes) + 21 + 3 * S
+    aliases = {base + i: i for i in range(9)}                 # cot
+    aliases.update({base + 9 + i: 18 + i for i in range(6 * S)})  # deposits
+
+    outs = pl.pallas_call(
+        partial(_persist_replay_kernel, n_strips=S, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(iteration, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, *rec, *grad_strips, *cot, *dep)
+    return tuple(outs[:9]), tuple(outs[18:]), tuple(outs[9:18])
+
+
+# ---------------------------------------------------------------------------
+# Driver: custom-VJP trace built on the persistent kernel pair
+# ---------------------------------------------------------------------------
+
+def _strip_geometry(R: int, n_strips: int):
+    """Lanes per strip, padded to whole SHADE blocks."""
+    per = -(-R // n_strips)
+    rows = -(-(-(-per // LANES)) // SHADE_ROWS) * SHADE_ROWS
+    return rows, rows * LANES
+
+
+def _u5_for(key, i, rows):
+    return jax.random.uniform(jax.random.fold_in(key, 1 << 20 | i),
+                              (5, rows, LANES), dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
+                                   "n_iters", "interpret"))
+def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
+                            n_strips, n_iters, interpret):
+    from .intersect_kernel import sweep_masked
+    from ..intersect import intersect_spheres
+    from ..materials import _onehot_rows_exact
+
+    R = origin.shape[0]
+    S = n_strips
+    rows, W = _strip_geometry(R, S)
+    f32 = jnp.float32
+
+    def strips(x):  # [R] -> S padded [rows, LANES] planes
+        xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, rows, LANES)
+        return [xp[s] for s in range(S)]
+
+    so = [strips(origin[:, j]) for j in range(3)]
+    sd = [strips(direction[:, j]) for j in range(3)]
+    strip_planes = tuple(p for s in range(S)
+                         for p in (so[0][s], so[1][s], so[2][s],
+                                   sd[0][s], sd[1][s], sd[2][s]))
+
+    lane = jnp.arange(W, dtype=jnp.int32).reshape(rows, LANES)
+    izer = jnp.zeros((rows, LANES), jnp.int32)
+    ones = jnp.ones((rows, LANES), f32)
+    act0 = (lane < R).astype(jnp.int32)
+    state = (so[0][0], so[1][0], so[2][0], sd[0][0], sd[1][0], sd[2][0],
+             ones, ones, ones, izer, izer, act0)
+    rad = tuple(jnp.zeros((rows, LANES), f32) for _ in range(3 * S))
+    rec = tuple([jnp.zeros((n_iters, rows, LANES), f32)] * 10
+                + [jnp.zeros((n_iters, rows, LANES), jnp.int32)]
+                + [jnp.zeros((n_iters, rows, LANES), f32)] * 10)
+    rec_idx = jnp.zeros((n_iters, W), jnp.int32)
+    amat = _attr_mat(scene)
+    seed = _base_seed(key)
+
+    def body(i, carry):
+        state, rad, rec, rec_idx = carry
+        o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
+        d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
+        alive = state[11].reshape(-1)
+        if interpret:
+            res = intersect_spheres(o, d, scene, tmin=tmin)
+            hit_t = jnp.where(res.hit & (alive != 0), res.t, jnp.float32(BIG))
+            idx = res.index
+        else:
+            hit_t, idx = sweep_masked(o, d, alive, scene.center,
+                                      scene.radius, tmin)
+        attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
+            if not interpret else amat[idx]
+        t_plane = hit_t.reshape(rows, LANES)
+        attr_planes = [attrs10[:, j].reshape(rows, LANES) for j in range(10)]
+        u5 = _u5_for(key, i, rows) if interpret else None
+        state, rad, rec = persist_record_step(
+            state, rad, rec, strip_planes, t_plane, lane, attr_planes,
+            i, seed + i, max_depth, S, R, interpret=interpret, u5=u5)
+        rec_idx = rec_idx.at[i].set(idx)
+        return state, rad, rec, rec_idx
+
+    state, rad, rec, rec_idx = jax.lax.fori_loop(
+        0, n_iters, body, (state, rad, rec, rec_idx))
+
+    radiance = jnp.stack(
+        [jnp.concatenate([rad[3 * c + j].reshape(-1) for c in range(S)])[:R]
+         for j in range(3)], axis=-1)
+    # Overflow diagnostics: paths still in flight + strips never started.
+    valid = lane < R
+    in_flight = jnp.sum(state[11] * valid)
+    started = jnp.where(valid, state[10] + 1, 0)
+    per_lane_total = jnp.minimum(
+        jnp.where(valid, S, 0),
+        jnp.ceil((R - lane) / W).astype(jnp.int32) * valid)
+    unstarted = jnp.sum(jnp.maximum(per_lane_total - started, 0))
+    dropped = in_flight + unstarted
+    return radiance.astype(origin.dtype), (rec, rec_idx), dropped
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def trace_recorded_persist(scene, origin, direction, key,
+                           max_depth: int = 16, tmin: float = 1e-4,
+                           n_strips: int = 8, n_iters: int | None = None,
+                           interpret: bool = False):
+    """Differentiable radiance ``[R, 3]`` — persistent-record kernel-pair
+    trace. Forward streams (hardware PRNG, strip refill) differ from
+    ``trace``; under ``value_and_grad`` the estimator is exact path replay.
+    Rays past the iteration budget read black (overflow contract — see the
+    module docstring; use :func:`persist_dropped_paths` to audit)."""
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips)
+    radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
+                                             max_depth, tmin, n_strips,
+                                             n_iters, interpret)
+    return radiance
+
+
+def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
+                          tmin=1e-4, n_strips=8, n_iters=None,
+                          interpret=False):
+    """Number of rays dropped by the static iteration budget (0 = exact)."""
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips)
+    _, _, dropped = _persist_record_forward(scene, origin, direction, key,
+                                            max_depth, tmin, n_strips,
+                                            n_iters, interpret)
+    return dropped
+
+
+def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
+                 n_iters, interpret):
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips)
+    radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
+                                               max_depth, tmin, n_strips,
+                                               n_iters, interpret)
+    return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
+                                   "n_iters", "interpret", "R"))
+def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
+                      n_strips, n_iters, interpret, R):
+    rows = rec[0].shape[1]
+    W = rows * LANES
+    S = n_strips
+    n = scene.n_spheres
+    f32 = jnp.float32
+    seed = _base_seed(key)
+
+    def strips(x):
+        xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, rows, LANES)
+        return [xp[s] for s in range(S)]
+
+    gs = [strips(g_rad[:, j]) for j in range(3)]
+    grad_strips = tuple(p for c in range(S)
+                        for p in (gs[0][c], gs[1][c], gs[2][c]))
+
+    zer = jnp.zeros((rows, LANES), f32)
+    cot = (zer,) * 9
+    dep = tuple(jnp.zeros((rows, LANES), f32) for _ in range(6 * S))
+    g_attr = jnp.zeros((n, 9), f32)
+
+    def back(carry, i):
+        cot, dep, g_attr = carry
+        u5 = _u5_for(key, i, rows) if interpret else None
+        cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
+                                              i, seed + i, S,
+                                              interpret=interpret, u5=u5)
+        rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
+        onehot = (rec_idx[i][:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                  ).astype(jnp.bfloat16)
+        rows27 = _split3_bf16(rows9)
+        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
+        return (cot, dep, g_attr), None
+
+    (cot, dep, g_attr), _ = jax.lax.scan(back, (cot, dep, g_attr),
+                                         jnp.arange(n_iters - 1, -1, -1))
+    # Remaining carried cotangent = strip-0 camera rays.
+    dep = list(dep)
+    for j in range(6):
+        dep[j] = cot[j]
+    g_org = jnp.stack(
+        [jnp.concatenate([dep[6 * c + j].reshape(-1) for c in range(S)])[:R]
+         for j in range(3)], axis=-1)
+    g_dir = jnp.stack(
+        [jnp.concatenate([dep[6 * c + 3 + j].reshape(-1) for c in range(S)])[:R]
+         for j in range(3)], axis=-1)
+    return g_attr, g_org, g_dir
+
+
+def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, residuals,
+                 g_rad):
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips)
+    scene, key, (rec, rec_idx), dtype_token = residuals
+    R, dtype = g_rad.shape[0], dtype_token.dtype
+    g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, rec, rec_idx,
+                                             g_rad.astype(jnp.float32),
+                                             max_depth, tmin, n_strips,
+                                             n_iters, interpret, R=R)
+    g_scene = scene._replace(
+        center=g_attr[:, 0:3].astype(scene.center.dtype),
+        radius=g_attr[:, 3].astype(scene.radius.dtype),
+        albedo=g_attr[:, 4:7].astype(scene.albedo.dtype),
+        fuzz=g_attr[:, 7].astype(scene.fuzz.dtype),
+        ir=g_attr[:, 8].astype(scene.ir.dtype),
+        mat=_float0_like(scene.mat))
+    return (g_scene, g_org.astype(dtype), g_dir.astype(dtype),
+            _float0_like(key))
+
+
+trace_recorded_persist.defvjp(_persist_fwd, _persist_bwd)

@@ -1,0 +1,310 @@
+"""Persistent-record kernel-pair gradient path (ops/pallas/persist_grad_kernel).
+
+Same validation strategy as the fixed-depth fused suite (test_grad_kernel.py):
+
+1. a pure-JAX *twin* of the persistent record forward (same per-iteration
+   uniforms, same XLA intersect, same ``_shade_core`` math, same strip
+   refill/banking state machine) must reproduce the kernel's radiance;
+2. ``jax.grad`` of that twin (autodiff through the whole persistent loop,
+   including the regen-boundary chain cuts that ``jnp.where`` encodes) must
+   match the hand-written replay adjoint on scene fields AND rays;
+3. finite differences of the persistent program itself must match its own
+   VJP (record and replay share draws exactly);
+4. the static-iteration-budget overflow contract: dropped == 0 at the default
+   budget, and a deliberately starved budget reports dropped > 0 while the
+   gradients remain finite and self-consistent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracingweekend_jl_tpu import make_scene, lambertian, metal, dielectric
+from raytracingweekend_jl_tpu.camera import default_camera, get_rays
+from raytracingweekend_jl_tpu.ops.intersect import intersect_spheres, BIG
+from raytracingweekend_jl_tpu.ops.pallas.grad_kernel import _attr_mat
+from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
+    trace_recorded_persist, persist_dropped_paths, _strip_geometry, _u5_for,
+    default_n_iters)
+from raytracingweekend_jl_tpu.ops.pallas.shade_kernel import _shade_core
+from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import LANES
+from raytracingweekend_jl_tpu.render import pixel_coords
+from raytracingweekend_jl_tpu import rng as rngmod
+
+
+def mixed_scene():
+    return make_scene([
+        lambertian((0, 0, -1), 0.5, (0.7, 0.3, 0.3)),
+        lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0)),
+        metal((1, 0, -1), 0.5, (0.8, 0.6, 0.2), 0.3),
+        dielectric((-1, 0, -1), 0.5, 1.5),
+    ], pad_to=4)
+
+
+def rays_for(scene, W=32, H=18, seed=7):
+    cam = default_camera()
+    u, v = pixel_coords(W, H)
+    key = jax.random.PRNGKey(seed)
+    o, d = get_rays(cam, u, v, rngmod.purpose_key(key, rngmod.LENS))
+    tk = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
+    return o, d, tk
+
+
+S = 4
+DEPTH = 8
+
+
+def twin_persist(scene, origin, direction, key, max_depth=DEPTH,
+                 n_strips=S, n_iters=None, tmin=1e-4):
+    """Pure-JAX replica of the persistent record forward: flat [W] lanes,
+    strip refill via the same masked selects the kernel uses."""
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips)
+    R = origin.shape[0]
+    rows, W = _strip_geometry(R, n_strips)
+    amat = _attr_mat(scene)
+    f32 = jnp.float32
+
+    def strips(x):
+        return jnp.pad(x.astype(f32),
+                       ((0, n_strips * W - R), (0, 0))).reshape(
+            n_strips, W, 3)
+
+    so = strips(origin)
+    sd = strips(direction)
+    lane = jnp.arange(W, dtype=jnp.int32)
+    o, d = so[0], sd[0]
+    thr = jnp.ones((W, 3), f32)
+    bo = jnp.zeros((W,), jnp.int32)
+    sp = jnp.zeros((W,), jnp.int32)
+    act = lane < R
+    rad = jnp.zeros((n_strips, W, 3), f32)
+
+    for i in range(n_iters):
+        res = intersect_spheres(o, d, scene, tmin=tmin)
+        t = jnp.where(res.hit & act, res.t, jnp.float32(BIG)).astype(f32)
+        attrs10 = amat[res.index]
+        u5 = _u5_for(key, i, rows).reshape(5, -1)
+        attrs_vals = tuple(attrs10[:, j] for j in range(10))
+        zf = jnp.zeros((W,), f32)
+        (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
+         aar, aag, aab) = _shade_core(
+            u5, t, attrs_vals, o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2], thr[:, 0], thr[:, 1], thr[:, 2],
+            zf, zf, zf, act)
+
+        newb = bo + 1
+        cont = hitm & (newb < max_depth)
+        exhausted = hitm & ~cont
+        term = miss | exhausted
+        nxt_s = sp + 1
+        can = term & (nxt_s < n_strips) & (nxt_s * W + lane < R)
+
+        bank = jnp.stack([bkr, bkg, bkb], axis=-1)
+        for c in range(n_strips):
+            sel = (miss & (sp == c))[:, None]
+            rad = rad.at[c].set(jnp.where(sel, bank, rad[c]))
+
+        hf = cont.astype(f32)[:, None]
+        o = hf * jnp.stack([px, py, pz], -1) + (1 - hf) * o
+        d = hf * jnp.stack([ndx, ndy, ndz], -1) + (1 - hf) * d
+        thr = jnp.where(cont[:, None],
+                        thr * jnp.stack([aar, aag, aab], -1), thr)
+        bo = jnp.where(cont, newb, bo)
+
+        for c in range(1, n_strips):
+            sel = (can & (nxt_s == c))[:, None]
+            o = jnp.where(sel, so[c], o)
+            d = jnp.where(sel, sd[c], d)
+        thr = jnp.where(can[:, None], 1.0, thr)
+        bo = jnp.where(can, 0, bo)
+        sp = jnp.where(can, nxt_s, sp)
+        act = (act & ~term) | can
+
+    return rad.reshape(n_strips * W, 3)[:R]
+
+
+def test_persist_forward_matches_twin():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    out = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                            S, None, True))
+    ref = np.asarray(twin_persist(scene, o, d, tk))
+    assert np.isfinite(out).all()
+    # Same draws, same math; the persistent loop runs more masked-blend
+    # iterations than the fixed-depth path, so interpret-mode fusion (FMA)
+    # vs the flat twin drifts a few more ulps on long throughput chains.
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_persist_zero_dropped_at_default_budget():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    drop = persist_dropped_paths(scene, o, d, tk, DEPTH, 1e-4, S, None, True)
+    assert int(drop) == 0
+
+
+def test_persist_overflow_contract():
+    # A starved budget must REPORT the dropped paths and keep the primal
+    # finite and <= the full render (dropped rays read black).
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    full = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                             S, None, True))
+    tiny = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                             S, 3, True))
+    drop = int(persist_dropped_paths(scene, o, d, tk, DEPTH, 1e-4, S, 3, True))
+    assert drop > 0
+    assert np.isfinite(tiny).all()
+    assert tiny.sum() < full.sum()
+    # Gradients of the truncated program stay finite (self-consistent).
+    g = jax.grad(lambda sc: jnp.mean(trace_recorded_persist(
+        sc, o, d, tk, DEPTH, 1e-4, S, 3, True) ** 2), allow_int=True)(scene)
+    assert np.isfinite(np.asarray(g.albedo)).all()
+
+
+def test_persist_vjp_matches_twin_autodiff():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    g_out = jax.random.normal(jax.random.PRNGKey(0), (o.shape[0], 3),
+                              jnp.float32)
+
+    def loss_persist(sc, oo, dd):
+        return jnp.vdot(trace_recorded_persist(sc, oo, dd, tk, DEPTH, 1e-4,
+                                               S, None, True), g_out)
+
+    def loss_twin(sc, oo, dd):
+        return jnp.vdot(twin_persist(sc, oo, dd, tk), g_out)
+
+    gs_f, go_f, gd_f = jax.grad(loss_persist, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+    gs_t, go_t, gd_t = jax.grad(loss_twin, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a = np.asarray(getattr(gs_f, f))
+        b = np.asarray(getattr(gs_t, f))
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale, err_msg=f)
+    a, b = np.asarray(go_f), np.asarray(go_t)
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="origin")
+    # Direction cotangents: compare tangentially (same gauge freedom as the
+    # fixed-depth suite — the implicit-t form differs from autodiff-through-
+    # the-quadratic by a component ALONG d that normalize() projects out).
+    dn = np.asarray(d)
+    proj = lambda g: g - (np.sum(g * dn, -1, keepdims=True)) * dn
+    a, b = proj(np.asarray(gd_f)), proj(np.asarray(gd_t))
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="direction (tangential)")
+
+
+def test_persist_fd_self_consistency_albedo():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+
+    def loss(sc):
+        r = trace_recorded_persist(sc, o, d, tk, DEPTH, 1e-4, S, None, True)
+        return jnp.mean(r * r)
+
+    g = jax.grad(loss, allow_int=True)(scene)
+    g_ad = float(np.asarray(g.albedo)[0, 0])
+
+    def loss_at(delta):
+        arr = np.asarray(scene.albedo).copy()
+        arr[0, 0] += delta
+        return float(loss(scene._replace(albedo=jnp.asarray(arr))))
+
+    eps = 1e-2
+    g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    assert abs(g_ad) > 0
+    np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
+
+
+def test_persist_mat_and_key_not_differentiated():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene, W=16, H=9)
+
+    def loss(sc):
+        return jnp.sum(trace_recorded_persist(sc, o, d, tk, 4, 1e-4, S,
+                                              None, True))
+
+    g = jax.grad(loss, allow_int=True)(scene)
+    assert g.mat.dtype == jax.dtypes.float0
+
+
+# ---------------------------------------------------------------------------
+# Multi-strip refill: R > min strip width so lanes actually regenerate
+# ---------------------------------------------------------------------------
+# The small-geometry tests above pad to one 8192-lane strip (R=576), so no
+# lane refills and the regen/deposit/reset machinery is idle. 128x72 = 9216
+# rays with S=2 puts a second ray on lanes 0-1023: strip refill, the replay
+# chain cut, the strip-selected radiance gradient, and the ray-gradient
+# deposit all fire on those lanes.
+
+
+def test_persist_multistrip_forward_and_vjp():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene, W=128, H=72)
+    S2 = 2
+    out = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                            S2, None, True))
+    ref = np.asarray(twin_persist(scene, o, d, tk, n_strips=S2))
+    assert np.isfinite(out).all()
+    # A handful of grazing-hit lanes may diverge chaotically under f32
+    # op-ordering (interpret-mode fusion vs the flat twin flips a hit, the
+    # whole downstream path re-deals) — same divergence class the intersect
+    # suite documents. Require per-ray agreement elsewhere + matched energy.
+    diverged = np.abs(out - ref).max(axis=-1) > 1e-3
+    assert diverged.mean() < 1e-3, diverged.mean()
+    np.testing.assert_allclose(out[~diverged], ref[~diverged],
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out.mean(), ref.mean(), atol=1e-4)
+
+    # Sanity that the refill actually happened: lanes 0-1023 carry strip-1
+    # rays, whose radiance must be non-trivial (not all black).
+    from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
+        _strip_geometry)
+    _, W_l = _strip_geometry(o.shape[0], S2)
+    assert o.shape[0] > W_l, "geometry regression: no refill exercised"
+    assert np.abs(out[W_l:]).sum() > 0
+
+    # Zero the diverged rays' loss weights: their paths differ between the
+    # two programs, so their adjoints are incomparable; every other ray's
+    # path is identical and must produce matching gradients.
+    g_out = jax.random.normal(jax.random.PRNGKey(0), (o.shape[0], 3),
+                              jnp.float32)
+    g_out = g_out * (~diverged)[:, None]
+
+    def loss_persist(sc, oo, dd):
+        return jnp.vdot(trace_recorded_persist(sc, oo, dd, tk, DEPTH, 1e-4,
+                                               S2, None, True), g_out)
+
+    def loss_twin(sc, oo, dd):
+        return jnp.vdot(twin_persist(sc, oo, dd, tk, n_strips=S2), g_out)
+
+    gs_f, go_f, gd_f = jax.grad(loss_persist, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+    gs_t, go_t, gd_t = jax.grad(loss_twin, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a = np.asarray(getattr(gs_f, f))
+        b = np.asarray(getattr(gs_t, f))
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale, err_msg=f)
+    # Ray gradients on the REFILLED strip (deposits) and strip 0 (final
+    # carried cotangent) both match autodiff.
+    a, b = np.asarray(go_f), np.asarray(go_t)
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="origin")
+    assert np.abs(b[W_l:]).sum() > 0, "strip-1 origin grads all zero"
+    dn = np.asarray(d)
+    proj = lambda g: g - (np.sum(g * dn, -1, keepdims=True)) * dn
+    a, b = proj(np.asarray(gd_f)), proj(np.asarray(gd_t))
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="direction (tangential)")
