@@ -111,17 +111,31 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     stay within HBM."""
     # An explicit remat=True without recorded= selects the XLA-transpose
     # path; otherwise the recorded integrator is the default. The fused
-    # kernel-pair variant (recorded_fused=True) implies recorded.
-    if kwargs.get("recorded_fused"):
+    # kernel-pair variant (recorded_fused=True) and the persistent-record
+    # pair (recorded_persist=(n_strips, n_iters|None)) imply recorded.
+    if kwargs.get("recorded_fused") or kwargs.get("recorded_persist"):
         kwargs["recorded"] = True
     kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
+        persist = kwargs.get("recorded_persist")
+        if persist:
+            # Persistent record: 21 planes x n_iters x (R / n_strips) bytes
+            # per chunk => per-ray-per-bounce equivalent for the shared
+            # budget formula. ~3x smaller than the fixed-depth record.
+            from .ops.pallas.persist_grad_kernel import default_n_iters
+            S_p, n_it = persist
+            depth = kwargs.get("max_depth", 16)
+            n_it = default_n_iters(S_p, depth) if n_it is None else n_it
+            bprb = max((21 * 4 + 4) * n_it // (S_p * depth), 1)
+        elif kwargs.get("recorded_fused"):
+            bprb = _FUSED_BYTES_PER_RAY_BOUNCE
+        else:
+            bprb = None
         kwargs["pixel_chunk"] = auto_pixel_chunk(
             target.shape[0] * image_width,
             kwargs.get("max_depth", 16),
-            bytes_per_ray_bounce=_FUSED_BYTES_PER_RAY_BOUNCE
-            if kwargs.get("recorded_fused") else None)
+            bytes_per_ray_bounce=bprb)
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

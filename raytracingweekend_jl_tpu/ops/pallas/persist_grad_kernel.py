@@ -32,14 +32,16 @@ lane), and sky injection happens at miss-termination iterations. Per-ray
 sphere-attribute cotangent rows go through the same exact bf16-split MXU
 contraction as the fixed-depth path.
 
-Overflow contract: ``n_iters`` is static (the record buffer's leading axis).
-Lanes whose strips don't all finish within the budget contribute ZERO for the
-truncated/unstarted rays — the primal and the gradient stay self-consistent
-(gradient of the computed primal; unfinished paths never inject), but the
-image is biased low by the dropped paths. The driver returns the dropped-path
-count as an aux output; callers size ``n_iters`` so it is zero (the default
-``5 * n_strips + 8`` covers the flagship distribution with ~60% slack) and
-the budget test asserts the contract.
+Overflow contract: ``n_iters`` is a static CAP (the record buffer's leading
+axis), but the record phase is a ``while_loop`` that exits at the REALIZED
+max lane-iteration count — with the default cap (``n_strips * max_depth``,
+the worst case) no path can ever be dropped, and the cap's slack costs only
+record-buffer memory plus cheaply-skipped backward iterations (per-iteration
+active counts gate the replay scan through ``lax.cond``). A caller-supplied
+smaller cap trades exactness for memory: overflowing lanes contribute ZERO
+for truncated/unstarted rays — the primal and gradient stay self-consistent
+(unfinished paths never inject), the image is biased low, and the driver
+surfaces the dropped count (``persist_dropped_paths``).
 
 Gradient semantics (interior gradients, discrete events replayed as
 constants, implicit hit-distance) are identical to trace_recorded_fused;
@@ -67,10 +69,16 @@ _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
 _F_STRIP_SHIFT = 4
 
 
-def default_n_iters(n_strips: int) -> int:
-    """Iteration budget covering the flagship path-length distribution
-    (mean 3.15 bounces/path) with slack for the max-over-lanes tail."""
-    return 5 * n_strips + 8
+def default_n_iters(n_strips: int, max_depth: int = 16) -> int:
+    """Default iteration CAP: the worst case ``n_strips * max_depth`` — with
+    the while-loop record phase the cap costs only record-buffer memory and
+    cheaply-skipped backward iterations, never forward compute, so the
+    default buys GUARANTEED zero dropped paths. (A mean-plus-slack budget
+    was measured insufficient at flagship: lane strips sit ~W rays apart,
+    which is vertically-correlated image geometry — glass-column lanes
+    draw several long paths in a row and the tail decays slowly: 2.5%% of
+    paths dropped at budget 32, 0.095%% at 48.)"""
+    return n_strips * max_depth
 
 
 # ---------------------------------------------------------------------------
@@ -78,20 +86,18 @@ def default_n_iters(n_strips: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
-                           n_strips: int, n_rays: int, w_total: int,
-                           hw_prng: bool):
+                           n_strips: int, hw_prng: bool):
     S = n_strips
     if hw_prng:
         u5_ref = None
     else:
         u5_ref, refs = refs[0], refs[1:]
     t_ref = refs[0]
-    lane_ref = refs[1]
-    attr_refs = refs[2:12]
-    strip_refs = refs[12:12 + 6 * S]          # o3 then d3, per strip
-    st_in = refs[12 + 6 * S:24 + 6 * S]       # 12 planes
-    rad_in = refs[24 + 6 * S:24 + 9 * S]      # 3S planes (aliased)
-    out = refs[45 + 9 * S:]                   # skip aliased rec inputs (21)
+    attr_refs = refs[1:11]
+    strip_refs = refs[11:11 + 6 * S]          # o3 then d3, per strip
+    st_in = refs[11 + 6 * S:23 + 6 * S]       # 12 planes
+    rad_in = refs[23 + 6 * S:23 + 9 * S]      # 3S planes (aliased)
+    out = refs[44 + 9 * S:]                   # skip aliased rec inputs (21)
     st_out = out[0:12]
     rad_out = out[12:12 + 3 * S]
     rec_out = out[12 + 3 * S:33 + 3 * S]      # 21 rec slices
@@ -138,10 +144,10 @@ def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
         term = miss | exhausted
         nxt_s = sp + 1
 
-        # Lane's global index (for next-strip ray validity: id = s*W + lane).
-        lane = lane_ref[:]
-        can = (term & (nxt_s < S)
-               & (nxt_s * jnp.int32(w_total) + lane < n_rays))
+        # The driver pads every strip to full width with sky-dummy rays
+        # (one-iteration paths, output sliced off), so every next strip is
+        # valid — no per-lane ray-id bookkeeping in the kernel.
+        can = term & (nxt_s < S)
 
         # Residual record: this iteration's INPUTS + packed events.
         flags = (act
@@ -202,9 +208,9 @@ def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
 
 
 def persist_record_step(state: tuple, rad: tuple, rec: tuple,
-                        strip_planes: tuple, t, lane_plane, attrs10_planes,
+                        strip_planes: tuple, t, attrs10_planes,
                         iteration, seed, max_depth: int, n_strips: int,
-                        n_rays: int, interpret: bool = False, u5=None):
+                        interpret: bool = False, u5=None):
     """One persistent record iteration over padded planes. ``state`` = 12
     [rows, LANES] planes (o3, d3, thr3, bounce, strip, active); ``rad`` = 3S
     strip radiance planes; ``rec`` = 21 [n_iters, rows, LANES] buffers,
@@ -231,7 +237,7 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=(rng_specs + [spec] * (12 + 6 * S + n_state + n_rad)
+        in_specs=(rng_specs + [spec] * (11 + 6 * S + n_state + n_rad)
                   + [rec_spec] * n_rec),
         out_specs=[spec] * (n_state + n_rad) + [rec_spec] * n_rec,
     )
@@ -239,22 +245,21 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
                    for s in state]
                   + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * n_rad
                   + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rec])
-    base = 2 + len(rng_planes) + 12 + 6 * S
+    base = 2 + len(rng_planes) + 11 + 6 * S
     aliases = {base + i: i for i in range(n_state + n_rad)}
     aliases.update({base + n_state + n_rad + i: n_state + n_rad + i
                     for i in range(n_rec)})
 
     outs = pl.pallas_call(
         partial(_persist_record_kernel, max_depth=max_depth, n_strips=S,
-                n_rays=n_rays, w_total=rows * LANES, hw_prng=hw_prng),
+                hw_prng=hw_prng),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
     )(jnp.asarray(iteration, jnp.int32).reshape(1,),
       jnp.asarray(seed, jnp.int32).reshape(1,),
-      *rng_planes, t, lane_plane, *attrs10_planes, *strip_planes,
-      *state, *rad, *rec)
+      *rng_planes, t, *attrs10_planes, *strip_planes, *state, *rad, *rec)
     return (tuple(outs[:n_state]),
             tuple(outs[n_state:n_state + n_rad]),
             tuple(outs[n_state + n_rad:]))
@@ -404,6 +409,18 @@ def _strip_geometry(R: int, n_strips: int):
     return rows, rows * LANES
 
 
+def _strip_delta(W: int) -> int:
+    """Per-strip circular-roll shift decorrelating a lane's strips.
+
+    Without it, lane ``l``'s strips are rays ``l, l+W, l+2W, ...`` — at
+    flagship geometry that is a near-vertical pixel column, so lanes over a
+    glass column draw several 16-bounce paths in a row and the realized max
+    lane-iteration count (= the while-loop trip count = wall time) carries a
+    heavy tail. A golden-ratio roll per strip spreads each lane's rays across
+    the image; rolls are layout transforms (two slices), not gathers."""
+    return (int(W * 0.381966) | 1)
+
+
 def _u5_for(key, i, rows):
     return jax.random.uniform(jax.random.fold_in(key, 1 << 20 | i),
                               (5, rows, LANES), dtype=jnp.float32)
@@ -420,22 +437,27 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     R = origin.shape[0]
     S = n_strips
     rows, W = _strip_geometry(R, S)
+    delta = _strip_delta(W)
     f32 = jnp.float32
 
-    def strips(x):  # [R] -> S padded [rows, LANES] planes
-        xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, rows, LANES)
-        return [xp[s] for s in range(S)]
+    def strips(x, dummy):  # [R] -> S rolled [rows, LANES] planes
+        xp = jnp.concatenate(
+            [x.astype(f32), jnp.full((S * W - R,), dummy, f32)]
+        ).reshape(S, W)
+        return [jnp.roll(xp[s], -s * delta).reshape(rows, LANES)
+                for s in range(S)]
 
-    so = [strips(origin[:, j]) for j in range(3)]
-    sd = [strips(direction[:, j]) for j in range(3)]
+    # Padding rays are straight-up sky rays: unit direction, one-iteration
+    # paths, output sliced off — every (strip, lane) slot is a real path.
+    so = [strips(origin[:, j], 0.0) for j in range(3)]
+    sd = [strips(direction[:, j], 1.0 if j == 1 else 0.0) for j in range(3)]
     strip_planes = tuple(p for s in range(S)
                          for p in (so[0][s], so[1][s], so[2][s],
                                    sd[0][s], sd[1][s], sd[2][s]))
 
-    lane = jnp.arange(W, dtype=jnp.int32).reshape(rows, LANES)
     izer = jnp.zeros((rows, LANES), jnp.int32)
     ones = jnp.ones((rows, LANES), f32)
-    act0 = (lane < R).astype(jnp.int32)
+    act0 = jnp.ones((rows, LANES), jnp.int32)
     state = (so[0][0], so[1][0], so[2][0], sd[0][0], sd[1][0], sd[2][0],
              ones, ones, ones, izer, izer, act0)
     rad = tuple(jnp.zeros((rows, LANES), f32) for _ in range(3 * S))
@@ -446,11 +468,20 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     amat = _attr_mat(scene)
     seed = _base_seed(key)
 
-    def body(i, carry):
-        state, rad, rec, rec_idx = carry
+    counts = jnp.zeros((n_iters,), jnp.int32)
+
+    def cond(carry):
+        # The loop stops at the REALIZED max lane-iteration count, so a
+        # generous cap costs memory, not forward compute.
+        state, rad, rec, rec_idx, counts, i = carry
+        return (i < n_iters) & jnp.any(state[11] != 0)
+
+    def body(carry):
+        state, rad, rec, rec_idx, counts, i = carry
         o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
         d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
         alive = state[11].reshape(-1)
+        counts = counts.at[i].set(jnp.sum(state[11]))
         if interpret:
             res = intersect_spheres(o, d, scene, tmin=tmin)
             hit_t = jnp.where(res.hit & (alive != 0), res.t, jnp.float32(BIG))
@@ -464,27 +495,23 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
         attr_planes = [attrs10[:, j].reshape(rows, LANES) for j in range(10)]
         u5 = _u5_for(key, i, rows) if interpret else None
         state, rad, rec = persist_record_step(
-            state, rad, rec, strip_planes, t_plane, lane, attr_planes,
-            i, seed + i, max_depth, S, R, interpret=interpret, u5=u5)
+            state, rad, rec, strip_planes, t_plane, attr_planes,
+            i, seed + i, max_depth, S, interpret=interpret, u5=u5)
         rec_idx = rec_idx.at[i].set(idx)
-        return state, rad, rec, rec_idx
+        return state, rad, rec, rec_idx, counts, i + 1
 
-    state, rad, rec, rec_idx = jax.lax.fori_loop(
-        0, n_iters, body, (state, rad, rec, rec_idx))
+    state, rad, rec, rec_idx, counts, _ = jax.lax.while_loop(
+        cond, body, (state, rad, rec, rec_idx, counts, jnp.int32(0)))
 
     radiance = jnp.stack(
-        [jnp.concatenate([rad[3 * c + j].reshape(-1) for c in range(S)])[:R]
+        [jnp.concatenate(
+            [jnp.roll(rad[3 * c + j].reshape(-1), c * delta)
+             for c in range(S)])[:R]
          for j in range(3)], axis=-1)
-    # Overflow diagnostics: paths still in flight + strips never started.
-    valid = lane < R
-    in_flight = jnp.sum(state[11] * valid)
-    started = jnp.where(valid, state[10] + 1, 0)
-    per_lane_total = jnp.minimum(
-        jnp.where(valid, S, 0),
-        jnp.ceil((R - lane) / W).astype(jnp.int32) * valid)
-    unstarted = jnp.sum(jnp.maximum(per_lane_total - started, 0))
-    dropped = in_flight + unstarted
-    return radiance.astype(origin.dtype), (rec, rec_idx), dropped
+    # Overflow diagnostics (0 unless the caller shrank the cap below the
+    # worst case): paths still in flight + strips never started.
+    dropped = jnp.sum(state[11]) + jnp.sum(S - 1 - state[10])
+    return radiance.astype(origin.dtype), (rec, rec_idx, counts), dropped
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -498,7 +525,7 @@ def trace_recorded_persist(scene, origin, direction, key,
     Rays past the iteration budget read black (overflow contract — see the
     module docstring; use :func:`persist_dropped_paths` to audit)."""
     if n_iters is None:
-        n_iters = default_n_iters(n_strips)
+        n_iters = default_n_iters(n_strips, max_depth)
     radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
                                              max_depth, tmin, n_strips,
                                              n_iters, interpret)
@@ -510,7 +537,7 @@ def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
                           interpret=False):
     """Number of rays dropped by the static iteration budget (0 = exact)."""
     if n_iters is None:
-        n_iters = default_n_iters(n_strips)
+        n_iters = default_n_iters(n_strips, max_depth)
     _, _, dropped = _persist_record_forward(scene, origin, direction, key,
                                             max_depth, tmin, n_strips,
                                             n_iters, interpret)
@@ -520,7 +547,7 @@ def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
 def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
                  n_iters, interpret):
     if n_iters is None:
-        n_iters = default_n_iters(n_strips)
+        n_iters = default_n_iters(n_strips, max_depth)
     radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
                                                max_depth, tmin, n_strips,
                                                n_iters, interpret)
@@ -529,18 +556,20 @@ def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
                                    "n_iters", "interpret", "R"))
-def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
-                      n_strips, n_iters, interpret, R):
+def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
+                      tmin, n_strips, n_iters, interpret, R):
     rows = rec[0].shape[1]
     W = rows * LANES
     S = n_strips
+    delta = _strip_delta(W)
     n = scene.n_spheres
     f32 = jnp.float32
     seed = _base_seed(key)
 
     def strips(x):
-        xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, rows, LANES)
-        return [xp[s] for s in range(S)]
+        xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, W)
+        return [jnp.roll(xp[s], -s * delta).reshape(rows, LANES)
+                for s in range(S)]
 
     gs = [strips(g_rad[:, j]) for j in range(3)]
     grad_strips = tuple(p for c in range(S)
@@ -551,7 +580,7 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
     dep = tuple(jnp.zeros((rows, LANES), f32) for _ in range(6 * S))
     g_attr = jnp.zeros((n, 9), f32)
 
-    def back(carry, i):
+    def live_step(carry, i):
         cot, dep, g_attr = carry
         u5 = _u5_for(key, i, rows) if interpret else None
         cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
@@ -565,7 +594,15 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
         contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
                                       preferred_element_type=f32)
         g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
-        return (cot, dep, g_attr), None
+        return cot, dep, g_attr
+
+    def back(carry, i):
+        # Iterations past the realized max (the while-loop cap slack) have
+        # all-zero records: a branch skip keeps them at launch cost.
+        carry = jax.lax.cond(counts[i] > 0,
+                             lambda c: live_step(c, i),
+                             lambda c: c, carry)
+        return carry, None
 
     (cot, dep, g_attr), _ = jax.lax.scan(back, (cot, dep, g_attr),
                                          jnp.arange(n_iters - 1, -1, -1))
@@ -574,10 +611,14 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
     for j in range(6):
         dep[j] = cot[j]
     g_org = jnp.stack(
-        [jnp.concatenate([dep[6 * c + j].reshape(-1) for c in range(S)])[:R]
+        [jnp.concatenate(
+            [jnp.roll(dep[6 * c + j].reshape(-1), c * delta)
+             for c in range(S)])[:R]
          for j in range(3)], axis=-1)
     g_dir = jnp.stack(
-        [jnp.concatenate([dep[6 * c + 3 + j].reshape(-1) for c in range(S)])[:R]
+        [jnp.concatenate(
+            [jnp.roll(dep[6 * c + 3 + j].reshape(-1), c * delta)
+             for c in range(S)])[:R]
          for j in range(3)], axis=-1)
     return g_attr, g_org, g_dir
 
@@ -585,10 +626,10 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
 def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, residuals,
                  g_rad):
     if n_iters is None:
-        n_iters = default_n_iters(n_strips)
-    scene, key, (rec, rec_idx), dtype_token = residuals
+        n_iters = default_n_iters(n_strips, max_depth)
+    scene, key, (rec, rec_idx, counts), dtype_token = residuals
     R, dtype = g_rad.shape[0], dtype_token.dtype
-    g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, rec, rec_idx,
+    g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, rec, rec_idx, counts,
                                              g_rad.astype(jnp.float32),
                                              max_depth, tmin, n_strips,
                                              n_iters, interpret, R=R)

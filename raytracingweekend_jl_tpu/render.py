@@ -107,7 +107,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     recorded: bool = False,
                     recorded_stage: tuple | None = None,
                     recorded_fused: bool = False,
-                    fused_stages: tuple | None = None) -> jnp.ndarray:
+                    fused_stages: tuple | None = None,
+                    recorded_persist: tuple | None = None) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -208,7 +209,23 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
             # recorded_stage=(B, div): opt-in staged variant — tail bounces
             # >= B run at width R//div over the compacted survivors (see the
             # budget contract in ops/grad_trace.py).
-            if recorded_fused:
+            if recorded_persist is not None:
+                # Persistent-record kernel pair (ops/pallas/
+                # persist_grad_kernel.py): lanes refill in place over
+                # n_strips rays, per-ITERATION records — ~3x fewer sweeps
+                # than the fixed-depth record at flagship occupancy.
+                # recorded_persist = (n_strips, n_iters|None). Static
+                # iteration budget: overflow rays read black and are
+                # counted (persist_dropped_paths) — size n_iters so the
+                # count is zero (the default budget is).
+                from .ops.pallas.persist_grad_kernel import (
+                    trace_recorded_persist)
+                p_strips, p_iters = recorded_persist
+                interp = jax.default_backend() == "cpu"
+                radiance = trace_recorded_persist(
+                    scene, origin, direction, trace_key, max_depth, tmin,
+                    p_strips, p_iters, interp)
+            elif recorded_fused:
                 # Kernel-pair record/replay path (ops/pallas/grad_kernel.py):
                 # ONE Pallas kernel per bounce on each side. Forward draws
                 # come from the persistent-family hardware PRNG stream (not
@@ -272,7 +289,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                                    "f32_w", "f32_h", "compact", "samples_per_pass",
                                    "persistent", "fused_attrs", "remat_policy",
                                    "tile_skip", "recorded", "recorded_stage",
-                                   "recorded_fused", "fused_stages"))
+                                   "recorded_fused", "fused_stages",
+                                   "recorded_persist"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -284,13 +302,14 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   recorded: bool = False,
                   recorded_stage: tuple | None = None,
                   recorded_fused: bool = False,
-                  fused_stages: tuple | None = None) -> jnp.ndarray:
+                  fused_stages: tuple | None = None,
+                  recorded_persist: tuple | None = None) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
                           tile_skip, recorded, recorded_stage, recorded_fused,
-                          fused_stages)
+                          fused_stages, recorded_persist)
     return acc / n_samples
 
 
@@ -307,7 +326,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     recorded: bool = False,
                     recorded_stage: tuple | None = None,
                     recorded_fused: bool = False,
-                    fused_stages: tuple | None = None) -> jnp.ndarray:
+                    fused_stages: tuple | None = None,
+                    recorded_persist: tuple | None = None) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -339,7 +359,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             tile_skip=tile_skip, recorded=recorded,
                             recorded_stage=recorded_stage,
                             recorded_fused=recorded_fused,
-                            fused_stages=fused_stages)
+                            fused_stages=fused_stages,
+                            recorded_persist=recorded_persist)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -360,7 +381,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 tile_skip=tile_skip, recorded=recorded,
                 recorded_stage=recorded_stage,
                 recorded_fused=recorded_fused,
-                fused_stages=fused_stages))
+                fused_stages=fused_stages,
+                recorded_persist=recorded_persist))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

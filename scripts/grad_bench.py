@@ -125,6 +125,17 @@ def main() -> None:
          dict(remat=False, recorded=True, recorded_fused=True,
               pixel_chunk=None,
               fused_stages=((0, 1), (2, 2), (4, 4), (8, 8)))),
+        # Persistent-record kernel pair (ops/pallas/persist_grad_kernel.py):
+        # strip-refilled lanes, per-iteration records — ~3x fewer sweep
+        # lane-iterations than the fixed-depth record at flagship occupancy.
+        ("persist_s8_auto",
+         dict(remat=False, recorded=True, recorded_persist=(8, None))),
+        ("persist_s4_auto",
+         dict(remat=False, recorded=True, recorded_persist=(4, None))),
+        ("persist_s16_auto",
+         dict(remat=False, recorded=True, recorded_persist=(16, None))),
+        ("persist_s8_it32_auto",
+         dict(remat=False, recorded=True, recorded_persist=(8, 32))),
     ]
     if args.quick:
         configs = configs[:1]

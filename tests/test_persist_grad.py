@@ -25,7 +25,7 @@ from raytracingweekend_jl_tpu.ops.intersect import intersect_spheres, BIG
 from raytracingweekend_jl_tpu.ops.pallas.grad_kernel import _attr_mat
 from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
     trace_recorded_persist, persist_dropped_paths, _strip_geometry, _u5_for,
-    default_n_iters)
+    _strip_delta, default_n_iters)
 from raytracingweekend_jl_tpu.ops.pallas.shade_kernel import _shade_core
 from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import LANES
 from raytracingweekend_jl_tpu.render import pixel_coords
@@ -59,25 +59,28 @@ def twin_persist(scene, origin, direction, key, max_depth=DEPTH,
     """Pure-JAX replica of the persistent record forward: flat [W] lanes,
     strip refill via the same masked selects the kernel uses."""
     if n_iters is None:
-        n_iters = default_n_iters(n_strips)
+        n_iters = default_n_iters(n_strips, max_depth)
     R = origin.shape[0]
     rows, W = _strip_geometry(R, n_strips)
+    delta = _strip_delta(W)
     amat = _attr_mat(scene)
     f32 = jnp.float32
 
-    def strips(x):
-        return jnp.pad(x.astype(f32),
-                       ((0, n_strips * W - R), (0, 0))).reshape(
-            n_strips, W, 3)
+    def strips(x, dummy):
+        xp = jnp.concatenate(
+            [x.astype(f32),
+             jnp.broadcast_to(jnp.asarray(dummy, f32),
+                              (n_strips * W - R, 3))]).reshape(n_strips, W, 3)
+        return jnp.stack([jnp.roll(xp[c], -c * delta, axis=0)
+                          for c in range(n_strips)])
 
-    so = strips(origin)
-    sd = strips(direction)
-    lane = jnp.arange(W, dtype=jnp.int32)
+    so = strips(origin, (0.0, 0.0, 0.0))
+    sd = strips(direction, (0.0, 1.0, 0.0))
     o, d = so[0], sd[0]
     thr = jnp.ones((W, 3), f32)
     bo = jnp.zeros((W,), jnp.int32)
     sp = jnp.zeros((W,), jnp.int32)
-    act = lane < R
+    act = jnp.ones((W,), bool)
     rad = jnp.zeros((n_strips, W, 3), f32)
 
     for i in range(n_iters):
@@ -98,7 +101,7 @@ def twin_persist(scene, origin, direction, key, max_depth=DEPTH,
         exhausted = hitm & ~cont
         term = miss | exhausted
         nxt_s = sp + 1
-        can = term & (nxt_s < n_strips) & (nxt_s * W + lane < R)
+        can = term & (nxt_s < n_strips)
 
         bank = jnp.stack([bkr, bkg, bkb], axis=-1)
         for c in range(n_strips):
@@ -121,6 +124,8 @@ def twin_persist(scene, origin, direction, key, max_depth=DEPTH,
         sp = jnp.where(can, nxt_s, sp)
         act = (act & ~term) | can
 
+    rad = jnp.stack([jnp.roll(rad[c], c * delta, axis=0)
+                     for c in range(n_strips)])
     return rad.reshape(n_strips * W, 3)[:R]
 
 
