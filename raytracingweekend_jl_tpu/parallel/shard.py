@@ -61,14 +61,17 @@ def _padded_coords(image_width: int, image_height: int, tile_size: int,
                                    "n_samples", "tile_size", "max_depth",
                                    "tmin", "remat", "compact",
                                    "samples_per_pass", "persistent",
-                                   "recorded"))
+                                   "recorded", "recorded_fused",
+                                   "recorded_persist"))
 def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       mesh: Mesh, image_width: int, image_height: int,
                       n_samples: int, tile_size: int, max_depth: int,
                       tmin: float, remat: bool, compact: bool = False,
                       samples_per_pass: int = 1,
                       persistent: bool = False,
-                      recorded: bool = False) -> jnp.ndarray:
+                      recorded: bool = False,
+                      recorded_fused: bool = False,
+                      recorded_persist: tuple | None = None) -> jnp.ndarray:
     dtype = cam.origin.dtype
     n_tile_shards = mesh.shape[TILES_AXIS]
     n_sample_shards = mesh.shape[SAMPLES_AXIS]
@@ -102,7 +105,9 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                                        max_depth, tmin, remat, f32_w, f32_h,
                                        compact, samples_per_pass, persistent,
                                        pixel_start=global_tile * tile_size,
-                                       recorded=recorded)
+                                       recorded=recorded,
+                                       recorded_fused=recorded_fused,
+                                       recorded_persist=recorded_persist)
             return jax.lax.dynamic_update_slice(acc, tile_sum[None], (i, 0, 0))
 
         acc = jax.lax.fori_loop(
@@ -132,7 +137,10 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                             remat: bool = False, compact: bool = False,
                             persistent: bool = False,
                             rays_per_pass: int | None = None,
-                            recorded: bool = False) -> jnp.ndarray:
+                            recorded: bool = False,
+                            recorded_fused: bool = False,
+                            recorded_persist: tuple | None = None
+                            ) -> jnp.ndarray:
     """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``.
 
     ``compact``/``rays_per_pass`` mirror the single-chip driver: forward-only
@@ -151,13 +159,16 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                              tile_size=tile_size, max_depth=max_depth,
                              tmin=tmin, remat=remat, compact=compact,
                              samples_per_pass=spp_pass, persistent=persistent,
-                             recorded=recorded)
+                             recorded=recorded, recorded_fused=recorded_fused,
+                             recorded_persist=recorded_persist)
 
 
 def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
                        image_width: int, n_samples: int, *, mesh: Mesh,
                        lr: float = 0.01, tile_size: int = DEFAULT_TILE,
-                       seed: int | jax.Array = 0) -> tuple[jnp.ndarray, Scene]:
+                       seed: int | jax.Array = 0,
+                       grad_mode: str | None = None
+                       ) -> tuple[jnp.ndarray, Scene]:
     """One sharded inverse-rendering SGD step.
 
     Forward renders the sharded image, computes an MSE loss against ``target``,
@@ -167,15 +178,30 @@ def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
     """
     from ..grad import DIFF_FIELDS
 
+    # grad_mode picks the recorded integrator per shard tile: "fused" (the
+    # kernel-pair path, fastest at shard tile sizes), "persist" (the
+    # strip-refilled pair — pays at >=1M-ray tiles), or "recorded" (the XLA
+    # path; also the CPU fallback — render_tile_sum interprets the Pallas
+    # pairs on CPU, so mesh tests still cover the dispatch).
+    if grad_mode is None:
+        # TPU: the kernel-pair path (fastest at shard tile sizes). CPU: the
+        # XLA recorded path (the kernel pairs would run in interpret mode —
+        # covered by an explicit-grad_mode mesh test instead).
+        grad_mode = "fused" if jax.default_backend() != "cpu" else "recorded"
+    if grad_mode not in ("fused", "persist", "recorded"):
+        raise ValueError(f"unknown grad_mode {grad_mode!r}")
+    rkw = dict(recorded=True,
+               recorded_fused=grad_mode == "fused",
+               recorded_persist=(8, None) if grad_mode == "persist" else None)
+
     def loss_fn(diff_params):
         s = scene._replace(**diff_params)
-        # Recorded-path integrator (ops/grad_trace.py): its custom VJP
-        # composes with the shard_map transpose — each shard replays its own
-        # paths, and the scene cotangents are all-reduced exactly as before.
+        # The recorded custom VJPs compose with the shard_map transpose —
+        # each shard replays its own paths, and the scene cotangents are
+        # all-reduced exactly as before.
         img = render_radiance_sharded(s, cam, image_width, n_samples, mesh=mesh,
                                       image_height=target.shape[0],
-                                      tile_size=tile_size, seed=seed,
-                                      recorded=True)
+                                      tile_size=tile_size, seed=seed, **rkw)
         return jnp.mean((img - target) ** 2)
 
     params = {f: getattr(scene, f) for f in DIFF_FIELDS}

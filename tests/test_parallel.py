@@ -132,3 +132,19 @@ def test_sharded_persistent_strided_dispatch(monkeypatch):
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 0.02
     assert np.abs(img - ref).mean() < 0.06
+
+
+def test_sharded_train_step_fused_grad_mode():
+    # The kernel-pair gradient integrator dispatches under shard_map too
+    # (interpret mode on the CPU mesh): loss finite and gradients update the
+    # scene — covers the dispatch and the shard_map transpose composition.
+    scene = scene_4_spheres()
+    cam = t_default_cam()
+    mesh = make_render_mesh(n_tiles=4, n_samples=2)
+    target = render_radiance(scene, cam, 64, 2, seed=3)
+    bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.7, 0, 1))
+    loss, updated = sharded_train_step(bad, cam, target, 64, 2, mesh=mesh,
+                                       lr=0.05, tile_size=256, seed=3,
+                                       grad_mode="fused")
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(updated.albedo), np.asarray(bad.albedo))
