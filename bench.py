@@ -147,8 +147,12 @@ def main() -> None:
                     r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if str(r.get("label", "")).startswith("grad_step_") and \
-                        "error" not in r:
+                lbl = str(r.get("label", ""))
+                # Exclude explicitly budget-starved persist probes ("_itNN"
+                # configs): they drop paths (biased estimator) and must not
+                # set the headline.
+                if lbl.startswith("grad_step_") and "error" not in r \
+                        and "_it" not in lbl:
                     best = max(best, float(r.get("mpaths_per_s", 0.0)))
         if best:
             rec["grad_step_mpaths_per_s"] = round(best, 3)

@@ -113,10 +113,27 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     # path; otherwise the recorded integrator is the default. The fused
     # kernel-pair variant (recorded_fused=True) and the persistent-record
     # pair (recorded_persist=(n_strips, n_iters|None)) imply recorded.
+    path_chosen = any(k in kwargs for k in
+                      ("remat", "recorded", "recorded_fused",
+                       "recorded_persist", "recorded_stage"))
     if kwargs.get("recorded_fused") or kwargs.get("recorded_persist"):
         kwargs["recorded"] = True
     kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
+    if not path_chosen:
+        # TPU default: the persistent-record kernel pair for big renders
+        # (10.0 Mpaths/s flagship value_and_grad, exact, vs 7.99 for the
+        # fixed-depth fused pair and 2.78 for the XLA recorded path —
+        # bench_history grad_step_* rows); the fixed-depth pair for small
+        # images, where the >=8192-lane strip geometry degenerates to one
+        # strip plus dummy refills. CPU keeps the XLA recorded path.
+        import jax as _jax
+        if _jax.default_backend() != "cpu":
+            n_pix = target.shape[0] * image_width
+            if n_pix >= (1 << 17):
+                kwargs["recorded_persist"] = (8, None)
+            else:
+                kwargs["recorded_fused"] = True
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
         persist = kwargs.get("recorded_persist")
         if persist:

@@ -50,6 +50,7 @@ reference semantics: /root/reference/src/ray_color.jl:14-38.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -265,6 +266,237 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
             tuple(outs[n_state + n_rad:]))
 
 
+
+# ---------------------------------------------------------------------------
+# Single-dispatch record kernel: sweep + attr fetch + shade + record
+# ---------------------------------------------------------------------------
+# The 3-dispatch iteration (masked sweep -> MXU one-hot fetch -> record
+# kernel) pays per-iteration XLA glue (flat stacks/reshapes) and two extra
+# launches ~80 times per chunk; this variant runs the WHOLE iteration as one
+# pallas_call: the sphere sweep with a running select of the winner's
+# attribute rows (the v2 _sweep_fetch_kernel pattern, intersect_kernel.py),
+# then the shade/advance/refill state machine and the residual record. The
+# winner index is recorded as a 22nd record plane (replacing the driver-side
+# rec_idx scatter). Miss lanes record Zero attrs (the running select's init)
+# instead of sphere-0 rows — every attr-dependent term in the forward and
+# the replay adjoint is hit-gated, so the semantics are identical.
+
+def _persist_record_fused_kernel(i_ref, seed_ref, cx_ref, cy_ref, cz_ref,
+                                 ck_ref, r_ref, ar_ref, ag_ref, ab_ref,
+                                 fz_ref, ir_ref, mt_ref, *refs,
+                                 max_depth: int, n_strips: int,
+                                 n_spheres: int, tmin: float, hw_prng: bool):
+    S = n_strips
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    strip_refs = refs[0:6 * S]
+    st_in = refs[6 * S:12 + 6 * S]
+    rad_in = refs[12 + 6 * S:12 + 9 * S]
+    out = refs[34 + 9 * S:]                   # skip aliased rec inputs (22)
+    st_out = out[0:12]
+    rad_out = out[12:12 + 3 * S]
+    rec_out = out[12 + 3 * S:34 + 3 * S]      # 22 rec slices (incl. idx)
+
+    anyactive = jnp.any(st_in[11][:] != 0)
+
+    @pl.when(jnp.logical_not(anyactive))
+    def _passthrough():
+        for ref, src in zip(st_out, st_in):
+            ref[:] = src[:]
+        for ref, src in zip(rad_out, rad_in):
+            ref[:] = src[:]
+        zf = jnp.zeros(st_in[0].shape, jnp.float32)
+        zi = jnp.zeros(st_in[0].shape, jnp.int32)
+        for j, ref in enumerate(rec_out):
+            ref[0] = zi if j in (10, 21) else zf
+
+    @pl.when(anyactive)
+    def _iterate():
+        if hw_prng:
+            _seed_prng(seed_ref)
+            u5 = _uniforms(st_in[0].shape, 5)
+        else:
+            u5 = u5_ref[:]
+
+        ox, oy, oz = st_in[0][:], st_in[1][:], st_in[2][:]
+        dx, dy, dz = st_in[3][:], st_in[4][:], st_in[5][:]
+        tx, ty, tz = st_in[6][:], st_in[7][:], st_in[8][:]
+        bo, sp, act = st_in[9][:], st_in[10][:], st_in[11][:]
+        active = act != 0
+
+        # --- in-kernel sweep + running winner-attribute select ---
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        zeros = jnp.zeros(ox.shape, jnp.float32)
+        init = (jnp.full(ox.shape, jnp.float32(BIG), jnp.float32),
+                jnp.zeros(ox.shape, jnp.int32)) + (zeros,) * 10
+
+        def one(sph, carry):
+            (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bfz, bir, bmt) = carry
+            cxs, cys, czs, cks = (cx_ref[sph], cy_ref[sph], cz_ref[sph],
+                                  ck_ref[sph])
+            cd = cxs * dx + cys * dy + czs * dz
+            oc = cxs * ox + cys * oy + czs * oz
+            hb = od - cd
+            c = oo - 2.0 * oc + cks
+            disc = hb * hb - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r1 = -hb - sq
+            tt = jnp.where(r1 >= tmin, r1, -hb + sq)
+            ok = (disc > 0) & (tt >= tmin) & (tt < bt)
+            sel = lambda a, b_: jnp.where(ok, a, b_)
+            return (sel(tt, bt), sel(sph, bi),
+                    sel(cxs, bcx), sel(cys, bcy), sel(czs, bcz),
+                    sel(r_ref[sph], br), sel(ar_ref[sph], bar),
+                    sel(ag_ref[sph], bag), sel(ab_ref[sph], bab),
+                    sel(fz_ref[sph], bfz), sel(ir_ref[sph], bir),
+                    sel(mt_ref[sph], bmt))
+
+        unroll = 2 if n_spheres % 2 == 0 else 1
+
+        def sbody(i, carry):
+            for k in range(unroll):
+                carry = one(i * unroll + k, carry)
+            return carry
+
+        (t, idx, acx, acy, acz, arr, aar_, aag_, aab_, afz, air, amt) = \
+            jax.lax.fori_loop(0, n_spheres // unroll, sbody, init)
+        attrs_vals = (acx, acy, acz, arr, aar_, aag_, aab_, afz, air, amt)
+
+        zf = jnp.zeros(t.shape, jnp.float32)
+        (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
+         aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz,
+                                      dx, dy, dz, tx, ty, tz,
+                                      zf, zf, zf, active)
+
+        newb = bo + 1
+        cont = hitm & (newb < max_depth)
+        exhausted = hitm & ~cont
+        term = miss | exhausted
+        nxt_s = sp + 1
+        can = term & (nxt_s < S)
+
+        flags = (act
+                 + (hitm.astype(jnp.int32) << 1)
+                 + (term.astype(jnp.int32) << 2)
+                 + (can.astype(jnp.int32) << 3)
+                 + (sp << _F_STRIP_SHIFT))
+        for ref, val in zip(rec_out,
+                            (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, flags)
+                            + attrs_vals + (idx,)):
+            ref[0] = val
+
+        for c in range(S):
+            sel = miss & (sp == c)
+            sf = sel.astype(jnp.float32)
+            nsf = 1.0 - sf
+            rad_out[3 * c + 0][:] = sf * bkr + nsf * rad_in[3 * c + 0][:]
+            rad_out[3 * c + 1][:] = sf * bkg + nsf * rad_in[3 * c + 1][:]
+            rad_out[3 * c + 2][:] = sf * bkb + nsf * rad_in[3 * c + 2][:]
+
+        cf = cont.astype(jnp.float32)
+        ncf = 1.0 - cf
+        ox = cf * px + ncf * ox
+        oy = cf * py + ncf * oy
+        oz = cf * pz + ncf * oz
+        dx = cf * ndx + ncf * dx
+        dy = cf * ndy + ncf * dy
+        dz = cf * ndz + ncf * dz
+        tx = jnp.where(cont, tx * aar, tx)
+        ty = jnp.where(cont, ty * aag, ty)
+        tz = jnp.where(cont, tz * aab, tz)
+        bo = jnp.where(cont, newb, bo)
+
+        canf = can.astype(jnp.float32)
+        nanf = 1.0 - canf
+        for c in range(1, S):
+            sel = (can & (nxt_s == c)).astype(jnp.float32)
+            nsl = 1.0 - sel
+            ox = sel * strip_refs[6 * c + 0][:] + nsl * ox
+            oy = sel * strip_refs[6 * c + 1][:] + nsl * oy
+            oz = sel * strip_refs[6 * c + 2][:] + nsl * oz
+            dx = sel * strip_refs[6 * c + 3][:] + nsl * dx
+            dy = sel * strip_refs[6 * c + 4][:] + nsl * dy
+            dz = sel * strip_refs[6 * c + 5][:] + nsl * dz
+        tx = canf * 1.0 + nanf * tx
+        ty = canf * 1.0 + nanf * ty
+        tz = canf * 1.0 + nanf * tz
+        bo = jnp.where(can, 0, bo)
+        sp = jnp.where(can, nxt_s, sp)
+        act = ((active & ~term) | can).astype(jnp.int32)
+
+        for ref, val in zip(st_out, (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                                     bo, sp, act)):
+            ref[:] = val
+
+
+def persist_record_fused_step(state: tuple, rad: tuple, rec: tuple,
+                              strip_planes: tuple, scene, iteration, seed,
+                              max_depth: int, n_strips: int,
+                              tmin: float, interpret: bool = False, u5=None):
+    """One persistent record iteration as ONE pallas_call (in-kernel sweep +
+    winner-attribute select). ``rec`` here has 22 planes — the last is the
+    int32 winner-index plane."""
+    rows = state[0].shape[0]
+    grid = rows // SHADE_ROWS
+    hw_prng = u5 is None
+    S = n_strips
+    f32 = jnp.float32
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda i, *_refs: (_refs[0][0], i, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5]
+        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+                                  lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
+    n_state, n_rad, n_rec = 12, 3 * S, 22
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=13,
+        grid=(grid,),
+        in_specs=(rng_specs + [spec] * (6 * S + n_state + n_rad)
+                  + [rec_spec] * n_rec),
+        out_specs=[spec] * (n_state + n_rad) + [rec_spec] * n_rec,
+    )
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), x.dtype)
+                   for x in state]
+                  + [jax.ShapeDtypeStruct((rows, LANES), f32)] * n_rad
+                  + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rec])
+    base = 13 + len(rng_planes) + 6 * S
+    aliases = {base + i: i for i in range(n_state + n_rad)}
+    aliases.update({base + n_state + n_rad + i: n_state + n_rad + i
+                    for i in range(n_rec)})
+
+    ck = jnp.sum(scene.center * scene.center, axis=-1) - scene.radius ** 2
+    outs = pl.pallas_call(
+        partial(_persist_record_fused_kernel, max_depth=max_depth,
+                n_strips=S, n_spheres=scene.n_spheres, tmin=tmin,
+                hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(iteration, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      scene.center[:, 0].astype(f32), scene.center[:, 1].astype(f32),
+      scene.center[:, 2].astype(f32), ck.astype(f32),
+      scene.radius.astype(f32),
+      scene.albedo[:, 0].astype(f32), scene.albedo[:, 1].astype(f32),
+      scene.albedo[:, 2].astype(f32), scene.fuzz.astype(f32),
+      scene.ir.astype(f32), scene.mat.astype(f32),
+      *rng_planes, *strip_planes, *state, *rad, *rec)
+    return (tuple(outs[:n_state]),
+            tuple(outs[n_state:n_state + n_rad]),
+            tuple(outs[n_state + n_rad:]))
+
+
 # ---------------------------------------------------------------------------
 # Replay kernel: reverse iteration with regen-boundary cotangent resets
 # ---------------------------------------------------------------------------
@@ -417,8 +649,18 @@ def _strip_delta(W: int) -> int:
     glass column draw several 16-bounce paths in a row and the realized max
     lane-iteration count (= the while-loop trip count = wall time) carries a
     heavy tail. A golden-ratio roll per strip spreads each lane's rays across
-    the image; rolls are layout transforms (two slices), not gathers."""
-    return (int(W * 0.381966) | 1)
+    the image; rolls are layout transforms (two slices), not gathers.
+
+    MEASURED NEGATIVE on the flagship, default OFF: the roll did not even
+    cut the realized max (74 iterations un-rolled vs 80 rolled — the
+    vertical stride apparently already crosses object scales at W=131k),
+    and it UNIFORMLY scatters the tail's survivors so the masked sweep's
+    all-dead-block skip stops firing late in the loop: 9.0 Mpaths/s rolled
+    vs 9.9 un-rolled, both exact. ``RTW_PERSIST_ROLL=1`` re-enables for
+    A/B runs; see bench_history persist rows."""
+    if os.environ.get("RTW_PERSIST_ROLL") == "1":
+        return (int(W * 0.381966) | 1)
+    return 0
 
 
 def _u5_for(key, i, rows):
@@ -427,9 +669,9 @@ def _u5_for(key, i, rows):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
-                                   "n_iters", "interpret"))
+                                   "n_iters", "interpret", "fused_step"))
 def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
-                            n_strips, n_iters, interpret):
+                            n_strips, n_iters, interpret, fused_step=False):
     from .intersect_kernel import sweep_masked
     from ..intersect import intersect_spheres
     from ..materials import _onehot_rows_exact
@@ -463,45 +705,65 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     rad = tuple(jnp.zeros((rows, LANES), f32) for _ in range(3 * S))
     rec = tuple([jnp.zeros((n_iters, rows, LANES), f32)] * 10
                 + [jnp.zeros((n_iters, rows, LANES), jnp.int32)]
-                + [jnp.zeros((n_iters, rows, LANES), f32)] * 10)
-    rec_idx = jnp.zeros((n_iters, W), jnp.int32)
+                + [jnp.zeros((n_iters, rows, LANES), f32)] * 10
+                + ([jnp.zeros((n_iters, rows, LANES), jnp.int32)]
+                   if fused_step else []))
     amat = _attr_mat(scene)
     seed = _base_seed(key)
-
     counts = jnp.zeros((n_iters,), jnp.int32)
 
     def cond(carry):
         # The loop stops at the REALIZED max lane-iteration count, so a
         # generous cap costs memory, not forward compute.
-        state, rad, rec, rec_idx, counts, i = carry
-        return (i < n_iters) & jnp.any(state[11] != 0)
+        return (carry[-1] < n_iters) & jnp.any(carry[0][11] != 0)
 
-    def body(carry):
-        state, rad, rec, rec_idx, counts, i = carry
-        o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
-        d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
-        alive = state[11].reshape(-1)
-        counts = counts.at[i].set(jnp.sum(state[11]))
-        if interpret:
-            res = intersect_spheres(o, d, scene, tmin=tmin)
-            hit_t = jnp.where(res.hit & (alive != 0), res.t, jnp.float32(BIG))
-            idx = res.index
-        else:
-            hit_t, idx = sweep_masked(o, d, alive, scene.center,
-                                      scene.radius, tmin)
-        attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
-            if not interpret else amat[idx]
-        t_plane = hit_t.reshape(rows, LANES)
-        attr_planes = [attrs10[:, j].reshape(rows, LANES) for j in range(10)]
-        u5 = _u5_for(key, i, rows) if interpret else None
-        state, rad, rec = persist_record_step(
-            state, rad, rec, strip_planes, t_plane, attr_planes,
-            i, seed + i, max_depth, S, interpret=interpret, u5=u5)
-        rec_idx = rec_idx.at[i].set(idx)
-        return state, rad, rec, rec_idx, counts, i + 1
+    if fused_step:
+        # ONE pallas_call per iteration: in-kernel sweep + winner-attribute
+        # select + shade + record; the winner index lands in rec[21].
+        def body(carry):
+            state, rad, rec, counts, i = carry
+            counts = counts.at[i].set(jnp.sum(state[11]))
+            u5 = _u5_for(key, i, rows) if interpret else None
+            state, rad, rec = persist_record_fused_step(
+                state, rad, rec, strip_planes, scene, i, seed + i,
+                max_depth, S, tmin, interpret=interpret, u5=u5)
+            return state, rad, rec, counts, i + 1
 
-    state, rad, rec, rec_idx, counts, _ = jax.lax.while_loop(
-        cond, body, (state, rad, rec, rec_idx, counts, jnp.int32(0)))
+        state, rad, rec, counts, _ = jax.lax.while_loop(
+            cond, body, (state, rad, rec, counts, jnp.int32(0)))
+        rec_idx = rec[21].reshape(n_iters, -1)
+        rec = rec[:21]
+    else:
+        rec_idx0 = jnp.zeros((n_iters, W), jnp.int32)
+
+        def body(carry):
+            state, rad, rec, rec_idx, counts, i = carry
+            o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
+            d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
+            alive = state[11].reshape(-1)
+            counts = counts.at[i].set(jnp.sum(state[11]))
+            if interpret:
+                res = intersect_spheres(o, d, scene, tmin=tmin)
+                hit_t = jnp.where(res.hit & (alive != 0), res.t,
+                                  jnp.float32(BIG))
+                idx = res.index
+            else:
+                hit_t, idx = sweep_masked(o, d, alive, scene.center,
+                                          scene.radius, tmin)
+            attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
+                if not interpret else amat[idx]
+            t_plane = hit_t.reshape(rows, LANES)
+            attr_planes = [attrs10[:, j].reshape(rows, LANES)
+                           for j in range(10)]
+            u5 = _u5_for(key, i, rows) if interpret else None
+            state, rad, rec = persist_record_step(
+                state, rad, rec, strip_planes, t_plane, attr_planes,
+                i, seed + i, max_depth, S, interpret=interpret, u5=u5)
+            rec_idx = rec_idx.at[i].set(idx)
+            return state, rad, rec, rec_idx, counts, i + 1
+
+        state, rad, rec, rec_idx, counts, _ = jax.lax.while_loop(
+            cond, body, (state, rad, rec, rec_idx0, counts, jnp.int32(0)))
 
     radiance = jnp.stack(
         [jnp.concatenate(
@@ -514,11 +776,11 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     return radiance.astype(origin.dtype), (rec, rec_idx, counts), dropped
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def trace_recorded_persist(scene, origin, direction, key,
                            max_depth: int = 16, tmin: float = 1e-4,
                            n_strips: int = 8, n_iters: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False, fused_step: bool = False):
     """Differentiable radiance ``[R, 3]`` — persistent-record kernel-pair
     trace. Forward streams (hardware PRNG, strip refill) differ from
     ``trace``; under ``value_and_grad`` the estimator is exact path replay.
@@ -528,29 +790,29 @@ def trace_recorded_persist(scene, origin, direction, key,
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
                                              max_depth, tmin, n_strips,
-                                             n_iters, interpret)
+                                             n_iters, interpret, fused_step)
     return radiance
 
 
 def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
                           tmin=1e-4, n_strips=8, n_iters=None,
-                          interpret=False):
+                          interpret=False, fused_step=False):
     """Number of rays dropped by the static iteration budget (0 = exact)."""
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     _, _, dropped = _persist_record_forward(scene, origin, direction, key,
                                             max_depth, tmin, n_strips,
-                                            n_iters, interpret)
+                                            n_iters, interpret, fused_step)
     return dropped
 
 
 def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
-                 n_iters, interpret):
+                 n_iters, interpret, fused_step):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
                                                max_depth, tmin, n_strips,
-                                               n_iters, interpret)
+                                               n_iters, interpret, fused_step)
     return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
 
 
@@ -582,6 +844,7 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
 
     def live_step(carry, i):
         cot, dep, g_attr = carry
+        i = jnp.asarray(i, jnp.int32)
         u5 = _u5_for(key, i, rows) if interpret else None
         cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
                                               i, seed + i, S,
@@ -596,16 +859,20 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
         g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
         return cot, dep, g_attr
 
-    def back(carry, i):
-        # Iterations past the realized max (the while-loop cap slack) have
-        # all-zero records: a branch skip keeps them at launch cost.
-        carry = jax.lax.cond(counts[i] > 0,
-                             lambda c: live_step(c, i),
-                             lambda c: c, carry)
-        return carry, None
+    # Walk only the REALIZED iterations (the forward while-loop's trip
+    # count), in reverse — the cap slack costs nothing here: a dynamic
+    # lower bound instead of cond-skipped scan steps.
+    realized = jnp.sum((counts > 0).astype(jnp.int32))
 
-    (cot, dep, g_attr), _ = jax.lax.scan(back, (cot, dep, g_attr),
-                                         jnp.arange(n_iters - 1, -1, -1))
+    def wcond(carry):
+        return carry[0] >= 0
+
+    def wbody(carry):
+        i, inner = carry
+        return i - 1, live_step(inner, i)
+
+    _, (cot, dep, g_attr) = jax.lax.while_loop(
+        wcond, wbody, (realized - 1, (cot, dep, g_attr)))
     # Remaining carried cotangent = strip-0 camera rays.
     dep = list(dep)
     for j in range(6):
@@ -623,8 +890,8 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
     return g_attr, g_org, g_dir
 
 
-def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, residuals,
-                 g_rad):
+def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
+                 residuals, g_rad):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     scene, key, (rec, rec_idx, counts), dtype_token = residuals

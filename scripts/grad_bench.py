@@ -134,8 +134,9 @@ def main() -> None:
          dict(remat=False, recorded=True, recorded_persist=(4, None))),
         ("persist_s16_auto",
          dict(remat=False, recorded=True, recorded_persist=(16, None))),
-        ("persist_s8_it32_auto",
-         dict(remat=False, recorded=True, recorded_persist=(8, 32))),
+        # The no-flags default path render_loss resolves on its own
+        # (TPU full image -> persistent-record pair).
+        ("default_auto", dict(remat=None)),
     ]
     if args.quick:
         configs = configs[:1]
@@ -158,8 +159,9 @@ def main() -> None:
             # ~15-30 ms, which at sub-second step times dominates. Seed is a
             # traced argument so repeats reuse the compiled program.
             def f(params, seed, kw=kw, remat=remat):
+                extra = {} if remat is None else {"remat": remat}
                 return render_loss(_with_params(bad, params), cam, target, W,
-                                   spp, seed=seed, remat=remat, **kw)
+                                   spp, seed=seed, **extra, **kw)
 
             step = jax.jit(jax.value_and_grad(f))
             p0 = _params_of(bad)

@@ -313,3 +313,35 @@ def test_persist_multistrip_forward_and_vjp():
     scale = max(np.abs(b).max(), 1e-6)
     np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
                                err_msg="direction (tangential)")
+
+
+def test_persist_fused_step_matches_unfused():
+    # The single-dispatch record kernel (in-kernel sweep + winner-attribute
+    # running select) must reproduce the 3-dispatch path: same draws, same
+    # closed forms — agreement up to grazing-hit divergence, plus FD
+    # self-consistency of its own VJP.
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    a = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                          S, None, True, False))
+    b = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                          S, None, True, True))
+    div = np.abs(a - b).max(-1) > 1e-3
+    assert div.mean() < 1e-3
+    np.testing.assert_allclose(a[~div], b[~div], atol=2e-4, rtol=1e-4)
+
+    def loss(sc):
+        return jnp.mean(trace_recorded_persist(
+            sc, o, d, tk, DEPTH, 1e-4, S, None, True, True) ** 2)
+
+    g = jax.grad(loss, allow_int=True)(scene)
+    g_ad = float(np.asarray(g.albedo)[0, 0])
+
+    def loss_at(dl):
+        arr = np.asarray(scene.albedo).copy()
+        arr[0, 0] += dl
+        return float(loss(scene._replace(albedo=jnp.asarray(arr))))
+
+    eps = 1e-2
+    g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
