@@ -199,6 +199,7 @@ def test_strided_dispatch_helpers():
 def test_compilation_cache_helper(tmp_path, monkeypatch):
     import os
     from raytracingweekend_jl_tpu.utils import cache
+    monkeypatch.delenv("RTW_NO_CACHE", raising=False)
     monkeypatch.setenv("RTW_COMPILATION_CACHE", str(tmp_path / "xla"))
     path = cache.enable_compilation_cache()
     assert path.endswith("xla") and os.path.isdir(path)

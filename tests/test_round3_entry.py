@@ -102,9 +102,11 @@ def test_assemble_strips_empty_dir(tmp_path):
 def test_auto_pixel_chunk_table():
     # Small images fit: no chunking.
     assert auto_pixel_chunk(64 * 36, 16) is None
-    # Flagship at depth 16 fits in the default 8 GB budget (1920*1080 rays
-    # x 16 bounces x ~104 B = ~3.4 GB).
-    assert auto_pixel_chunk(1920 * 1080, 16) is None
+    # Flagship at depth 16 fits the 8 GB budget but trips the measured
+    # ~1M-ray soft cap (full-image records run 2-3x slower): two balanced
+    # lane-aligned chunks.
+    c = auto_pixel_chunk(1920 * 1080, 16)
+    assert c == 1040384 and 2 * c >= 1920 * 1080, c
     # A 4x-flagship image does not: chunks must engage, lane-aligned.
     c = auto_pixel_chunk(4 * 1920 * 1080, 16)
     assert c is not None and c % 8192 == 0
