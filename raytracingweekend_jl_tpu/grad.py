@@ -102,13 +102,15 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     """Scalar image loss of a differentiable render against ``target`` [H,W,3]
     (linear radiance, not gamma-encoded — compare in linear space).
 
-    Defaults to the RECORDED-path integrator (ops/grad_trace.py): primal
-    bitwise-identical to the plain trace, backward via path replay — measured
-    2.8 Mpaths/s for a flagship value_and_grad step vs 0.96 for the
-    checkpointed XLA transpose (scripts/grad_bench.py; pass
-    ``recorded=False, remat=True`` to use the latter). At flagship sizes pass
-    ``pixel_chunk=1<<20`` so per-bounce path records (~12 floats/ray/bounce)
-    stay within HBM."""
+    With no path flags the integrator is auto-selected: on TPU the
+    persistent-record kernel pair for full images (10.7 Mpaths/s flagship
+    value_and_grad, ops/pallas/persist_grad_kernel.py) or the fixed-depth
+    fused pair for small ones; on CPU the XLA recorded path
+    (ops/grad_trace.py — primal bitwise-identical to the plain trace). Pass
+    ``recorded=False, remat=True`` for the checkpointed XLA transpose, or
+    any explicit ``recorded*`` flag to pin a variant (see
+    scripts/grad_bench.py for the measured menu). ``pixel_chunk`` is
+    auto-picked to keep path records inside HBM."""
     # An explicit remat=True without recorded= selects the XLA-transpose
     # path; otherwise the recorded integrator is the default. The fused
     # kernel-pair variant (recorded_fused=True) and the persistent-record
