@@ -134,7 +134,7 @@ def _grid_sweep_kernel(bx_ref, by_ref, bz_ref, bk_ref,
 
     t_ref[:] = jnp.full(ox.shape, big, jnp.float32)
     idx_ref[:] = jnp.zeros(ox.shape, jnp.int32)
-    skip_ref[0] = jnp.int32(0)
+    skip_ref[:] = jnp.zeros(ox.shape, jnp.int32)
 
     def one(s):
         cxs, cys, czs, cks = cx_ref[s], cy_ref[s], cz_ref[s], ck_ref[s]
@@ -174,11 +174,12 @@ def _grid_sweep_kernel(bx_ref, by_ref, bz_ref, bk_ref,
             def fbody(j, _):
                 one(n_global + k * P + j)
                 return 0
-            jax.lax.fori_loop(0, P, fbody, 0, unroll=4)
+            # Mosaic only supports unroll=1 or full unroll for scans.
+            jax.lax.fori_loop(0, P, fbody, 0, unroll=P)
 
         @pl.when(jnp.logical_not(anyhit))
         def _count():
-            skip_ref[0] = skip_ref[0] + 1
+            skip_ref[:] = skip_ref[:] + 1
 
         return 0
 
@@ -204,8 +205,10 @@ def grid_sweep(origin, direction, planes, n_global, K, P,
     ]
     ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    skip_spec = pl.BlockSpec((1,), lambda i, *_: (i,),
-                             memory_space=pltpu.SMEM)
+    # Mosaic rejects sub-(8,128) scalar output blocks; the count is
+    # broadcast over a full VMEM plane (diagnostic output, negligible
+    # traffic) and one element per block is read back.
+    skip_spec = ray_spec
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(grid,),
@@ -217,10 +220,11 @@ def grid_sweep(origin, direction, planes, n_global, K, P,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((grid,), jnp.int32)],
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
         interpret=interpret,
     )(*planes, *ray_planes)
-    return t.reshape(-1)[:R], idx.reshape(-1)[:R], skips
+    return (t.reshape(-1)[:R], idx.reshape(-1)[:R],
+            skips[::BLOCK_ROWS, 0])
 
 
 def intersect_spheres_grid(origin, direction, scene: Scene,
