@@ -140,7 +140,7 @@ def main() -> None:
     try:
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_history.jsonl")
-        best = 0.0
+        latest = {}
         with open(hist) as f:
             for line in f:
                 try:
@@ -148,14 +148,21 @@ def main() -> None:
                 except json.JSONDecodeError:
                     continue
                 lbl = str(r.get("label", ""))
-                # Exclude explicitly budget-starved persist probes ("_itNN"
-                # configs): they drop paths (biased estimator) and must not
-                # set the headline.
+                # LATEST row per config label (history keeps superseded
+                # variants — e.g. budget-tuned runs later measured to drop
+                # paths; only the current code's numbers may set the
+                # headline), flagship 1spp workload only.
+                # "_itNN" budget-starved probes drop paths (biased) and
+                # are excluded outright.
                 if lbl.startswith("grad_step_") and "error" not in r \
+                        and lbl.endswith("_1920x1080x1") \
                         and "_it" not in lbl:
-                    best = max(best, float(r.get("mpaths_per_s", 0.0)))
-        if best:
-            rec["grad_step_mpaths_per_s"] = round(best, 3)
+                    if r.get("ts", 0) >= latest.get(lbl, (0, 0))[0]:
+                        latest[lbl] = (r.get("ts", 0),
+                                       float(r.get("mpaths_per_s", 0.0)))
+        if latest:
+            rec["grad_step_mpaths_per_s"] = round(
+                max(v for _, v in latest.values()), 3)
     except OSError:
         pass
     print(json.dumps(rec))

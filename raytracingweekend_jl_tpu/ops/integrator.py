@@ -44,24 +44,34 @@ def _pick_intersector(use_pallas, fused_attrs: bool = False):
     they replace: 6.5 vs 7.4 Mpaths/s persistent). ``fused_attrs=True`` picks
     the v2 kernel (fewer HBM intermediates; useful under memory pressure).
     CPU: the XLA sweep with plain gathers. All variants are differentiable.
+    Float64 rays auto-route to the XLA sweep (the Pallas kernels are
+    f32-only by design; f64 is the oracle/precision-anchor path — it must
+    work on the device too, reference src/proto/proto.jl:15).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
+        def dtype_dispatch(kern):
+            def isect(org, d, scene, tmin):
+                if org.dtype == jnp.float64:
+                    return intersect_spheres(org, d, scene, tmin=tmin), None
+                return kern(org, d, scene, tmin)
+            return isect
+
         if fused_attrs:
             from .pallas.intersect_kernel import intersect_fetch_pallas
 
             def pallas_fetch_isect(org, d, scene, tmin):
                 return intersect_fetch_pallas(org, d, scene, tmin=tmin)
 
-            return pallas_fetch_isect
+            return dtype_dispatch(pallas_fetch_isect)
 
         from .pallas.intersect_kernel import intersect_spheres_pallas
 
         def pallas_isect(org, d, scene, tmin):
             return intersect_spheres_pallas(org, d, scene, tmin=tmin), None
 
-        return pallas_isect
+        return dtype_dispatch(pallas_isect)
 
     def xla_isect(org, d, scene, tmin):
         return intersect_spheres(org, d, scene, tmin=tmin), None
