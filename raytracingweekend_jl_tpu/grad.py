@@ -123,17 +123,21 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
     if not path_chosen:
-        # TPU default: the persistent-record kernel pair for big renders
-        # (10.0 Mpaths/s flagship value_and_grad, exact, vs 7.99 for the
-        # fixed-depth fused pair and 2.78 for the XLA recorded path —
-        # bench_history grad_step_* rows); the fixed-depth pair for small
-        # images, where the >=8192-lane strip geometry degenerates to one
-        # strip plus dummy refills. CPU keeps the XLA recorded path.
+        # TPU default: the persistent-record kernel pair with tail
+        # compaction for big renders (13.9 Mpaths/s flagship
+        # value_and_grad, vs 7.99 fixed-depth fused and 2.78 XLA recorded
+        # — bench_history grad_step_* rows); the fixed-depth pair for
+        # small images, where the >=8192-lane strip geometry degenerates
+        # to one strip plus dummy refills. CPU keeps the XLA recorded
+        # path. The (44, 16) boundary is verified zero-drop on all six
+        # scenes at flagship occupancies (bench_history); audit unusual
+        # scenes with persist_dropped_paths, or pin
+        # recorded_persist=(8, None) for the compaction-free exact path.
         import jax as _jax
         if _jax.default_backend() != "cpu":
             n_pix = target.shape[0] * image_width
             if n_pix >= (1 << 17):
-                kwargs["recorded_persist"] = (8, None)
+                kwargs["recorded_persist"] = (8, None, (44, 16))
             else:
                 kwargs["recorded_fused"] = True
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
@@ -143,7 +147,7 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
             # per chunk => per-ray-per-bounce equivalent for the shared
             # budget formula. ~3x smaller than the fixed-depth record.
             from .ops.pallas.persist_grad_kernel import default_n_iters
-            S_p, n_it = persist
+            S_p, n_it = persist[0], persist[1]
             depth = kwargs.get("max_depth", 16)
             n_it = default_n_iters(S_p, depth) if n_it is None else n_it
             bprb = max((21 * 4 + 4) * n_it // (S_p * depth), 1)

@@ -668,14 +668,78 @@ def _u5_for(key, i, rows):
                               (5, rows, LANES), dtype=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
-                                   "n_iters", "interpret", "fused_step"))
-def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
-                            n_strips, n_iters, interpret, fused_step=False):
+def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
+                      rec, rec_idx, counts, i0, cap_abs, max_depth, S,
+                      tmin, interpret, fused_step=False):
+    """Run persistent record iterations [i0, cap_abs) over the given planes
+    (any width). Absolute iteration i seeds the PRNG/u5 streams; buffer slot
+    is ``i - i0``. Stops at the realized max (all lanes inactive)."""
     from .intersect_kernel import sweep_masked
     from ..intersect import intersect_spheres
     from ..materials import _onehot_rows_exact
 
+    rows = state[0].shape[0]
+
+    def cond(carry):
+        return (carry[-1] < cap_abs) & jnp.any(carry[0][11] != 0)
+
+    if fused_step:
+        def body(carry):
+            state, rad, rec, rec_idx, counts, i = carry
+            counts = counts.at[i - i0].set(jnp.sum(state[11]))
+            u5 = _u5_for(key, i, rows) if interpret else None
+            state, rad, rec = persist_record_fused_step(
+                state, rad, rec, strip_planes, scene, i - i0, seed + i,
+                max_depth, S, tmin, interpret=interpret, u5=u5)
+            return state, rad, rec, rec_idx, counts, i + 1
+    else:
+        def body(carry):
+            state, rad, rec, rec_idx, counts, i = carry
+            o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
+            d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
+            alive = state[11].reshape(-1)
+            counts = counts.at[i - i0].set(jnp.sum(state[11]))
+            if interpret:
+                res = intersect_spheres(o, d, scene, tmin=tmin)
+                hit_t = jnp.where(res.hit & (alive != 0), res.t,
+                                  jnp.float32(BIG))
+                idx = res.index
+            else:
+                hit_t, idx = sweep_masked(o, d, alive, scene.center,
+                                          scene.radius, tmin)
+            attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
+                if not interpret else amat[idx]
+            t_plane = hit_t.reshape(rows, LANES)
+            attr_planes = [attrs10[:, j].reshape(rows, LANES)
+                           for j in range(10)]
+            u5 = _u5_for(key, i, rows) if interpret else None
+            state, rad, rec = persist_record_step(
+                state, rad, rec, strip_planes, t_plane, attr_planes,
+                i - i0, seed + i, max_depth, S, interpret=interpret, u5=u5)
+            rec_idx = rec_idx.at[i - i0].set(idx)
+            return state, rad, rec, rec_idx, counts, i + 1
+
+    state, rad, rec, rec_idx, counts, _ = jax.lax.while_loop(
+        cond, body,
+        (state, rad, rec, rec_idx, counts, jnp.int32(i0)))
+    return state, rad, rec, rec_idx, counts
+
+
+def _zero_rec(n, rows, fused_step=False):
+    f32 = jnp.float32
+    return tuple([jnp.zeros((n, rows, LANES), f32)] * 10
+                 + [jnp.zeros((n, rows, LANES), jnp.int32)]
+                 + [jnp.zeros((n, rows, LANES), f32)] * 10
+                 + ([jnp.zeros((n, rows, LANES), jnp.int32)]
+                    if fused_step else []))
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
+                                   "n_iters", "interpret", "fused_step",
+                                   "tail_compact"))
+def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
+                            n_strips, n_iters, interpret, fused_step=False,
+                            tail_compact=None):
     R = origin.shape[0]
     S = n_strips
     rows, W = _strip_geometry(R, S)
@@ -703,84 +767,101 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     state = (so[0][0], so[1][0], so[2][0], sd[0][0], sd[1][0], sd[2][0],
              ones, ones, ones, izer, izer, act0)
     rad = tuple(jnp.zeros((rows, LANES), f32) for _ in range(3 * S))
-    rec = tuple([jnp.zeros((n_iters, rows, LANES), f32)] * 10
-                + [jnp.zeros((n_iters, rows, LANES), jnp.int32)]
-                + [jnp.zeros((n_iters, rows, LANES), f32)] * 10
-                + ([jnp.zeros((n_iters, rows, LANES), jnp.int32)]
-                   if fused_step else []))
     amat = _attr_mat(scene)
     seed = _base_seed(key)
-    counts = jnp.zeros((n_iters,), jnp.int32)
 
-    def cond(carry):
-        # The loop stops at the REALIZED max lane-iteration count, so a
-        # generous cap costs memory, not forward compute.
-        return (carry[-1] < n_iters) & jnp.any(carry[0][11] != 0)
-
-    if fused_step:
-        # ONE pallas_call per iteration: in-kernel sweep + winner-attribute
-        # select + shade + record; the winner index lands in rec[21].
-        def body(carry):
-            state, rad, rec, counts, i = carry
-            counts = counts.at[i].set(jnp.sum(state[11]))
-            u5 = _u5_for(key, i, rows) if interpret else None
-            state, rad, rec = persist_record_fused_step(
-                state, rad, rec, strip_planes, scene, i, seed + i,
-                max_depth, S, tmin, interpret=interpret, u5=u5)
-            return state, rad, rec, counts, i + 1
-
-        state, rad, rec, counts, _ = jax.lax.while_loop(
-            cond, body, (state, rad, rec, counts, jnp.int32(0)))
-        rec_idx = rec[21].reshape(n_iters, -1)
-        rec = rec[:21]
+    if tail_compact is not None:
+        if fused_step:
+            raise ValueError("tail_compact requires fused_step=False")
+        b1, wdiv = tail_compact
+        b1 = min(b1, n_iters)
+        rows2 = max(rows // wdiv, SHADE_ROWS)
+        W2 = rows2 * LANES
+        cap2 = n_iters  # worst case for any surviving lane
     else:
-        rec_idx0 = jnp.zeros((n_iters, W), jnp.int32)
+        b1 = n_iters
 
-        def body(carry):
-            state, rad, rec, rec_idx, counts, i = carry
-            o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
-            d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
-            alive = state[11].reshape(-1)
-            counts = counts.at[i].set(jnp.sum(state[11]))
-            if interpret:
-                res = intersect_spheres(o, d, scene, tmin=tmin)
-                hit_t = jnp.where(res.hit & (alive != 0), res.t,
-                                  jnp.float32(BIG))
-                idx = res.index
-            else:
-                hit_t, idx = sweep_masked(o, d, alive, scene.center,
-                                          scene.radius, tmin)
-            attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
-                if not interpret else amat[idx]
-            t_plane = hit_t.reshape(rows, LANES)
-            attr_planes = [attrs10[:, j].reshape(rows, LANES)
-                           for j in range(10)]
-            u5 = _u5_for(key, i, rows) if interpret else None
-            state, rad, rec = persist_record_step(
-                state, rad, rec, strip_planes, t_plane, attr_planes,
-                i, seed + i, max_depth, S, interpret=interpret, u5=u5)
-            rec_idx = rec_idx.at[i].set(idx)
-            return state, rad, rec, rec_idx, counts, i + 1
+    rec1 = _zero_rec(b1, rows, fused_step)
+    rec_idx1 = jnp.zeros((b1, W), jnp.int32)
+    counts1 = jnp.zeros((b1,), jnp.int32)
+    state, rad, rec1, rec_idx1, counts1 = _run_record_phase(
+        scene, amat, key, seed, strip_planes, state, rad, rec1, rec_idx1,
+        counts1, 0, b1, max_depth, S, tmin, interpret, fused_step)
+    if fused_step:
+        rec_idx1 = rec1[21].reshape(b1, -1)
+        rec1 = rec1[:21]
 
-        state, rad, rec, rec_idx, counts, _ = jax.lax.while_loop(
-            cond, body, (state, rad, rec, rec_idx0, counts, jnp.int32(0)))
+    if tail_compact is None:
+        radiance = jnp.stack(
+            [jnp.concatenate(
+                [jnp.roll(rad[3 * c + j].reshape(-1), c * delta)
+                 for c in range(S)])[:R]
+             for j in range(3)], axis=-1)
+        # Overflow diagnostics (0 unless the caller shrank the cap below
+        # the worst case): paths in flight + strips never started.
+        dropped = jnp.sum(state[11]) + jnp.sum(S - 1 - state[10])
+        return (radiance.astype(origin.dtype),
+                (rec1, rec_idx1, counts1), dropped)
+
+    # ---- boundary: compact the survivors into a W/wdiv wavefront ----
+    # One SMALL-OUTPUT gather (unlike the measured-negative full-width
+    # permutations): at the default boundary the flagship occupancy is
+    # ~5-15%, so phase 2 runs the long tail at 1/wdiv of the sweep cost.
+    act_flat = state[11].reshape(-1)
+    n_act = jnp.sum(act_flat)
+    sel = jnp.nonzero(act_flat, size=W2, fill_value=0)[0]
+    valid2 = (jnp.arange(W2, dtype=jnp.int32) < n_act).astype(jnp.int32)
+
+    statef = jnp.stack([p.reshape(-1) for p in state[0:9]])[:, sel]
+    statei = jnp.stack([p.reshape(-1) for p in state[9:12]])[:, sel]
+    stripsf = jnp.stack([p.reshape(-1) for p in strip_planes])[:, sel]
+    state2 = tuple(statef[j].reshape(rows2, LANES) for j in range(9)) + (
+        statei[0].reshape(rows2, LANES), statei[1].reshape(rows2, LANES),
+        (statei[2] * valid2).reshape(rows2, LANES))
+    strip_planes2 = tuple(stripsf[j].reshape(rows2, LANES)
+                          for j in range(6 * S))
+    rad2 = tuple(jnp.zeros((rows2, LANES), f32) for _ in range(3 * S))
+    rec2 = _zero_rec(cap2 - b1, rows2)
+    rec_idx2 = jnp.zeros((cap2 - b1, W2), jnp.int32)
+    counts2 = jnp.zeros((cap2 - b1,), jnp.int32)
+    state2, rad2, rec2, rec_idx2, counts2 = _run_record_phase(
+        scene, amat, key, seed, strip_planes2, state2, rad2, rec2,
+        rec_idx2, counts2, b1, cap2, max_depth, S, tmin, interpret)
+
+    # Scatter phase-2 radiance banks back to the full-width strip planes
+    # (each ray banks exactly once, in exactly one phase).
+    rad = list(rad)
+    v2f = valid2.astype(f32)
+    for c in range(3 * S):
+        rad[c] = (rad[c].reshape(-1)
+                  .at[sel].add(rad2[c].reshape(-1) * v2f)
+                  .reshape(rows, LANES))
 
     radiance = jnp.stack(
         [jnp.concatenate(
             [jnp.roll(rad[3 * c + j].reshape(-1), c * delta)
              for c in range(S)])[:R]
          for j in range(3)], axis=-1)
-    # Overflow diagnostics (0 unless the caller shrank the cap below the
-    # worst case): paths still in flight + strips never started.
-    dropped = jnp.sum(state[11]) + jnp.sum(S - 1 - state[10])
-    return radiance.astype(origin.dtype), (rec, rec_idx, counts), dropped
+
+    # Dropped: boundary overflow (survivors beyond W2 never continue:
+    # their in-flight path + unstarted strips) + phase-2 cap leftovers.
+    selected = jnp.zeros((W,), jnp.int32).at[sel].add(valid2)
+    unsel = act_flat * (1 - selected)
+    sp_flat = state[10].reshape(-1)  # boundary snapshot (tuples immutable)
+    v2p = valid2.reshape(rows2, LANES)
+    dropped = (jnp.sum(unsel * (S - sp_flat))
+               + jnp.sum(state2[11] * v2p)
+               + jnp.sum((S - 1 - state2[10]) * v2p))
+    res = (rec1, rec_idx1, counts1, rec2, rec_idx2, counts2, sel, valid2)
+    return radiance.astype(origin.dtype), res, dropped
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def trace_recorded_persist(scene, origin, direction, key,
                            max_depth: int = 16, tmin: float = 1e-4,
                            n_strips: int = 8, n_iters: int | None = None,
-                           interpret: bool = False, fused_step: bool = False):
+                           interpret: bool = False, fused_step: bool = False,
+                           tail_compact: tuple | None = None):
     """Differentiable radiance ``[R, 3]`` — persistent-record kernel-pair
     trace. Forward streams (hardware PRNG, strip refill) differ from
     ``trace``; under ``value_and_grad`` the estimator is exact path replay.
@@ -790,43 +871,103 @@ def trace_recorded_persist(scene, origin, direction, key,
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
                                              max_depth, tmin, n_strips,
-                                             n_iters, interpret, fused_step)
+                                             n_iters, interpret, fused_step,
+                                             tail_compact)
     return radiance
 
 
 def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
                           tmin=1e-4, n_strips=8, n_iters=None,
-                          interpret=False, fused_step=False):
-    """Number of rays dropped by the static iteration budget (0 = exact)."""
+                          interpret=False, fused_step=False,
+                          tail_compact=None):
+    """Number of rays dropped by the static iteration budget / boundary
+    width (0 = exact; the defaults are exact by construction)."""
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     _, _, dropped = _persist_record_forward(scene, origin, direction, key,
                                             max_depth, tmin, n_strips,
-                                            n_iters, interpret, fused_step)
+                                            n_iters, interpret, fused_step,
+                                            tail_compact)
     return dropped
 
 
 def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
-                 n_iters, interpret, fused_step):
+                 n_iters, interpret, fused_step, tail_compact):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
                                                max_depth, tmin, n_strips,
-                                               n_iters, interpret, fused_step)
+                                               n_iters, interpret, fused_step,
+                                               tail_compact)
     return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
-                                   "n_iters", "interpret", "R"))
-def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
-                      tmin, n_strips, n_iters, interpret, R):
+def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
+                      cot, dep, g_attr, i0, S, interpret):
+    """Reverse-walk one record phase's REALIZED iterations. Buffer slot
+    ``slot`` corresponds to absolute iteration ``i0 + slot`` (PRNG/u5
+    streams are seeded by the absolute index, exactly as the record
+    phase)."""
     rows = rec[0].shape[1]
-    W = rows * LANES
+    n = scene.n_spheres
+    f32 = jnp.float32
+
+    def live_step(carry, slot):
+        cot, dep, g_attr = carry
+        slot = jnp.asarray(slot, jnp.int32)
+        i_abs = i0 + slot
+        u5 = _u5_for(key, i_abs, rows) if interpret else None
+        cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
+                                              slot, seed + i_abs, S,
+                                              interpret=interpret, u5=u5)
+        rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
+        onehot = (rec_idx[slot][:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                  ).astype(jnp.bfloat16)
+        rows27 = _split3_bf16(rows9)
+        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
+        return cot, dep, g_attr
+
+    realized = jnp.sum((counts > 0).astype(jnp.int32))
+
+    def wcond(carry):
+        return carry[0] >= 0
+
+    def wbody(carry):
+        slot, inner = carry
+        return slot - 1, live_step(inner, slot)
+
+    _, (cot, dep, g_attr) = jax.lax.while_loop(
+        wcond, wbody, (realized - 1, (cot, dep, g_attr)))
+    return cot, dep, g_attr
+
+
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
+                                   "n_iters", "interpret", "R",
+                                   "tail_compact"))
+def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
+                      tmin, n_strips, n_iters, interpret, R,
+                      tail_compact=None):
     S = n_strips
-    delta = _strip_delta(W)
     n = scene.n_spheres
     f32 = jnp.float32
     seed = _base_seed(key)
+
+    if tail_compact is None:
+        rec, rec_idx, counts = res
+        sel = valid2 = rec2 = rec_idx2 = counts2 = None
+        b1 = n_iters
+    else:
+        rec, rec_idx, counts, rec2, rec_idx2, counts2, sel, valid2 = res
+        b1, _ = tail_compact
+        b1 = min(b1, n_iters)
+        rows2 = rec2[0].shape[1]
+        W2 = rows2 * LANES
+    rows = rec[0].shape[1]
+    W = rows * LANES
+    delta = _strip_delta(W)
 
     def strips(x):
         xp = jnp.pad(x.astype(f32), (0, S * W - R)).reshape(S, W)
@@ -842,37 +983,33 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
     dep = tuple(jnp.zeros((rows, LANES), f32) for _ in range(6 * S))
     g_attr = jnp.zeros((n, 9), f32)
 
-    def live_step(carry, i):
-        cot, dep, g_attr = carry
-        i = jnp.asarray(i, jnp.int32)
-        u5 = _u5_for(key, i, rows) if interpret else None
-        cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
-                                              i, seed + i, S,
-                                              interpret=interpret, u5=u5)
-        rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
-        onehot = (rec_idx[i][:, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-                  ).astype(jnp.bfloat16)
-        rows27 = _split3_bf16(rows9)
-        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
-        return cot, dep, g_attr
+    if tail_compact is not None:
+        # Phase-2 replay in the compacted space, then transpose the
+        # boundary gather: scatter-add the carried cotangents and strip
+        # deposits back to full width before the phase-1 replay.
+        gsf = jnp.stack([p.reshape(-1) for p in grad_strips])[:, sel]
+        grad_strips2 = tuple(gsf[j].reshape(rows2, LANES)
+                             for j in range(3 * S))
+        z2 = jnp.zeros((rows2, LANES), f32)
+        cot2 = (z2,) * 9
+        dep2 = tuple(jnp.zeros((rows2, LANES), f32) for _ in range(6 * S))
+        cot2, dep2, g_attr = _run_replay_phase(
+            scene, key, seed, rec2, rec_idx2, counts2, grad_strips2,
+            cot2, dep2, g_attr, b1, S, interpret)
+        v2f = valid2.astype(f32)
+        cot = tuple(c.reshape(-1)
+                    .at[sel].add(c2.reshape(-1) * v2f)
+                    .reshape(rows, LANES)
+                    for c, c2 in zip(cot, cot2))
+        dep = tuple(d.reshape(-1)
+                    .at[sel].add(d2.reshape(-1) * v2f)
+                    .reshape(rows, LANES)
+                    for d, d2 in zip(dep, dep2))
 
-    # Walk only the REALIZED iterations (the forward while-loop's trip
-    # count), in reverse — the cap slack costs nothing here: a dynamic
-    # lower bound instead of cond-skipped scan steps.
-    realized = jnp.sum((counts > 0).astype(jnp.int32))
+    cot, dep, g_attr = _run_replay_phase(
+        scene, key, seed, rec, rec_idx, counts, grad_strips,
+        cot, dep, g_attr, 0, S, interpret)
 
-    def wcond(carry):
-        return carry[0] >= 0
-
-    def wbody(carry):
-        i, inner = carry
-        return i - 1, live_step(inner, i)
-
-    _, (cot, dep, g_attr) = jax.lax.while_loop(
-        wcond, wbody, (realized - 1, (cot, dep, g_attr)))
     # Remaining carried cotangent = strip-0 camera rays.
     dep = list(dep)
     for j in range(6):
@@ -891,15 +1028,16 @@ def _persist_bwd_impl(scene, key, rec, rec_idx, counts, g_rad, max_depth,
 
 
 def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
-                 residuals, g_rad):
+                 tail_compact, residuals, g_rad):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
-    scene, key, (rec, rec_idx, counts), dtype_token = residuals
+    scene, key, res, dtype_token = residuals
     R, dtype = g_rad.shape[0], dtype_token.dtype
-    g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, rec, rec_idx, counts,
+    g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, res,
                                              g_rad.astype(jnp.float32),
                                              max_depth, tmin, n_strips,
-                                             n_iters, interpret, R=R)
+                                             n_iters, interpret, R=R,
+                                             tail_compact=tail_compact)
     g_scene = scene._replace(
         center=g_attr[:, 0:3].astype(scene.center.dtype),
         radius=g_attr[:, 3].astype(scene.radius.dtype),

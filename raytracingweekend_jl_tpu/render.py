@@ -214,17 +214,20 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 # persist_grad_kernel.py): lanes refill in place over
                 # n_strips rays, per-ITERATION records — ~3x fewer sweeps
                 # than the fixed-depth record at flagship occupancy.
-                # recorded_persist = (n_strips, n_iters|None). Static
-                # iteration budget: overflow rays read black and are
-                # counted (persist_dropped_paths) — size n_iters so the
-                # count is zero (the default budget is).
+                # recorded_persist = (n_strips, n_iters|None[, tail_compact])
+                # where tail_compact = (boundary_iter, width_divisor) runs
+                # the post-boundary survivors at 1/divisor width (one
+                # small-output gather). The defaults are exact (zero
+                # dropped paths, persist_dropped_paths audits).
                 from .ops.pallas.persist_grad_kernel import (
                     trace_recorded_persist)
-                p_strips, p_iters = recorded_persist
+                p_strips, p_iters = recorded_persist[0], recorded_persist[1]
+                p_tc = recorded_persist[2] if len(recorded_persist) > 2 \
+                    else None
                 interp = jax.default_backend() == "cpu"
                 radiance = trace_recorded_persist(
                     scene, origin, direction, trace_key, max_depth, tmin,
-                    p_strips, p_iters, interp)
+                    p_strips, p_iters, interp, False, p_tc)
             elif recorded_fused:
                 # Kernel-pair record/replay path (ops/pallas/grad_kernel.py):
                 # ONE Pallas kernel per bounce on each side. Forward draws

@@ -134,6 +134,26 @@ def main() -> None:
          dict(remat=False, recorded=True, recorded_persist=(4, None))),
         ("persist_s16_auto",
          dict(remat=False, recorded=True, recorded_persist=(16, None))),
+        # Tail compaction: survivors gathered into a 1/4-width phase-2
+        # wavefront at the static boundary (one small-output gather).
+        ("persist_s8_tc32_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (32, 4)))),
+        ("persist_s8_tc40_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (40, 8)))),
+        ("persist_s8_tc24_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (24, 2)))),
+        ("persist_s8_tc44d4_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (44, 4)))),
+        ("persist_s8_tc48d8_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (48, 8)))),
+        ("persist_s8_tc44_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(8, None, (44, 16)))),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),

@@ -345,3 +345,151 @@ def test_persist_fused_step_matches_unfused():
     eps = 1e-2
     g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
     np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Tail compaction: phase-2 gather boundary
+# ---------------------------------------------------------------------------
+
+def twin_persist_tc(scene, origin, direction, key, b1, wdiv,
+                    max_depth=DEPTH, n_strips=2, n_iters=None, tmin=1e-4):
+    """Twin of the tail-compacted persistent forward: phase 1 at full width
+    for b1 iterations, then a survivor gather into W/wdiv lanes and phase 2
+    with ABSOLUTE-iteration uniform keys (matching the kernel driver)."""
+    from raytracingweekend_jl_tpu.ops.pallas.shade_kernel import SHADE_ROWS
+    if n_iters is None:
+        n_iters = default_n_iters(n_strips, max_depth)
+    R = origin.shape[0]
+    rows, W = _strip_geometry(R, n_strips)
+    delta = _strip_delta(W)
+    rows2 = max(rows // wdiv, SHADE_ROWS)
+    W2 = rows2 * LANES
+    amat = _attr_mat(scene)
+    f32 = jnp.float32
+
+    def strips(x, dummy):
+        xp = jnp.concatenate(
+            [x.astype(f32),
+             jnp.broadcast_to(jnp.asarray(dummy, f32),
+                              (n_strips * W - R, 3))]).reshape(n_strips, W, 3)
+        return jnp.stack([jnp.roll(xp[c], -c * delta, axis=0)
+                          for c in range(n_strips)])
+
+    so = strips(origin, (0.0, 0.0, 0.0))
+    sd = strips(direction, (0.0, 1.0, 0.0))
+    rad = jnp.zeros((n_strips, W, 3), f32)
+
+    def run_phase(o, d, thr, bo, sp, act, so_p, sd_p, i0, cap, width, rws):
+        banks = []  # (strip-onehot mask [Wp], bank [Wp,3]) per iteration
+        for i in range(i0, cap):
+            res = intersect_spheres(o, d, scene, tmin=tmin)
+            t = jnp.where(res.hit & act, res.t, jnp.float32(BIG)).astype(f32)
+            attrs10 = amat[res.index]
+            u5 = _u5_for(key, i, rws).reshape(5, -1)
+            attrs_vals = tuple(attrs10[:, j] for j in range(10))
+            zf = jnp.zeros((width,), f32)
+            (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
+             aar, aag, aab) = _shade_core(
+                u5, t, attrs_vals, o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2], thr[:, 0], thr[:, 1], thr[:, 2],
+                zf, zf, zf, act)
+            newb = bo + 1
+            cont = hitm & (newb < max_depth)
+            term = miss | (hitm & ~cont)
+            nxt_s = sp + 1
+            can = term & (nxt_s < n_strips)
+            banks.append((miss, sp, jnp.stack([bkr, bkg, bkb], -1)))
+            hf = cont.astype(f32)[:, None]
+            o = hf * jnp.stack([px, py, pz], -1) + (1 - hf) * o
+            d = hf * jnp.stack([ndx, ndy, ndz], -1) + (1 - hf) * d
+            thr = jnp.where(cont[:, None],
+                            thr * jnp.stack([aar, aag, aab], -1), thr)
+            bo = jnp.where(cont, newb, bo)
+            for c in range(1, n_strips):
+                selc = (can & (nxt_s == c))[:, None]
+                o = jnp.where(selc, so_p[c], o)
+                d = jnp.where(selc, sd_p[c], d)
+            thr = jnp.where(can[:, None], 1.0, thr)
+            bo = jnp.where(can, 0, bo)
+            sp = jnp.where(can, nxt_s, sp)
+            act = (act & ~term) | can
+        return o, d, thr, bo, sp, act, banks
+
+    lane = jnp.arange(W, dtype=jnp.int32)
+    o, d = so[0], sd[0]
+    thr = jnp.ones((W, 3), f32)
+    bo = jnp.zeros((W,), jnp.int32)
+    sp = jnp.zeros((W,), jnp.int32)
+    act = jnp.ones((W,), bool)
+    o, d, thr, bo, sp, act, banks1 = run_phase(
+        o, d, thr, bo, sp, act, so, sd, 0, b1, W, rows)
+
+    sel = jnp.nonzero(act, size=W2, fill_value=0)[0]
+    valid2 = jnp.arange(W2) < jnp.sum(act)
+    o2, d2, thr2 = o[sel], d[sel], thr[sel]
+    bo2, sp2 = bo[sel], sp[sel]
+    act2 = act[sel] & valid2
+    so2 = so[:, sel]
+    sd2 = sd[:, sel]
+    o2, d2, thr2, bo2, sp2, act2, banks2 = run_phase(
+        o2, d2, thr2, bo2, sp2, act2, so2, sd2, b1, n_iters, W2, rows2)
+
+    for miss, spb, bank in banks1:
+        for c in range(n_strips):
+            m = (miss & (spb == c))[:, None]
+            rad = rad.at[c].set(jnp.where(m, bank, rad[c]))
+    for miss, spb, bank in banks2:
+        for c in range(n_strips):
+            m = (miss & (spb == c) & valid2)[:, None]
+            rad = rad.at[c, sel].add(jnp.where(m, bank, 0.0))
+    rad = jnp.stack([jnp.roll(rad[c], c * delta, axis=0)
+                     for c in range(n_strips)])
+    return rad.reshape(n_strips * W, 3)[:R]
+
+
+def test_persist_tail_compact_matches_twin():
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene, W=128, H=72)
+    S2, B1, WDIV = 2, 6, 4
+    out = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                            S2, None, True, False, (B1, WDIV)))
+    ref = np.asarray(twin_persist_tc(scene, o, d, tk, B1, WDIV))
+    assert np.isfinite(out).all()
+    diverged = np.abs(out - ref).max(axis=-1) > 1e-3
+    assert diverged.mean() < 1e-3, diverged.mean()
+    np.testing.assert_allclose(out[~diverged], ref[~diverged],
+                               atol=2e-4, rtol=1e-4)
+    assert int(persist_dropped_paths(scene, o, d, tk, DEPTH, 1e-4, S2, None,
+                                     True, False, (B1, WDIV))) == 0
+
+    g_out = jax.random.normal(jax.random.PRNGKey(0), (o.shape[0], 3),
+                              jnp.float32)
+    g_out = g_out * (~diverged)[:, None]
+
+    def loss_k(sc, oo, dd):
+        return jnp.vdot(trace_recorded_persist(
+            sc, oo, dd, tk, DEPTH, 1e-4, S2, None, True, False,
+            (B1, WDIV)), g_out)
+
+    def loss_t(sc, oo, dd):
+        return jnp.vdot(twin_persist_tc(sc, oo, dd, tk, B1, WDIV), g_out)
+
+    gs_f, go_f, gd_f = jax.grad(loss_k, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+    gs_t, go_t, gd_t = jax.grad(loss_t, argnums=(0, 1, 2),
+                                allow_int=True)(scene, o, d)
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a = np.asarray(getattr(gs_f, f))
+        b = np.asarray(getattr(gs_t, f))
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale, err_msg=f)
+    a, b = np.asarray(go_f), np.asarray(go_t)
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="origin")
+    dn = np.asarray(d)
+    proj = lambda g: g - (np.sum(g * dn, -1, keepdims=True)) * dn
+    a, b = proj(np.asarray(gd_f)), proj(np.asarray(gd_t))
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
+                               err_msg="direction (tangential)")
