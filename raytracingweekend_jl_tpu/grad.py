@@ -137,7 +137,11 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
         if _jax.default_backend() != "cpu":
             n_pix = target.shape[0] * image_width
             if n_pix >= (1 << 17):
-                kwargs["recorded_persist"] = (8, None, (44, 16))
+                # Boundary iteration scales with depth (44 was tuned and
+                # zero-drop-verified at the default depth 16).
+                depth = kwargs.get("max_depth", 16)
+                b1 = max(-(-44 * depth // 16), 8)
+                kwargs["recorded_persist"] = (8, None, (b1, 16))
             else:
                 kwargs["recorded_fused"] = True
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:

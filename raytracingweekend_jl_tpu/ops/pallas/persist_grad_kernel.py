@@ -36,8 +36,9 @@ Overflow contract: ``n_iters`` is a static CAP (the record buffer's leading
 axis), but the record phase is a ``while_loop`` that exits at the REALIZED
 max lane-iteration count — with the default cap (``n_strips * max_depth``,
 the worst case) no path can ever be dropped, and the cap's slack costs only
-record-buffer memory plus cheaply-skipped backward iterations (per-iteration
-active counts gate the replay scan through ``lax.cond``). A caller-supplied
+record-buffer memory — the replay walks exactly the REALIZED iteration count
+(recovered from the per-iteration active counts) via a dynamic-lower-bound
+while loop, so slack iterations are never executed. A caller-supplied
 smaller cap trades exactness for memory: overflowing lanes contribute ZERO
 for truncated/unstarted rays — the primal and gradient stay self-consistent
 (unfinished paths never inject), the image is biased low, and the driver
@@ -77,14 +78,96 @@ def default_n_iters(n_strips: int, max_depth: int = 16) -> int:
     default buys GUARANTEED zero dropped paths. (A mean-plus-slack budget
     was measured insufficient at flagship: lane strips sit ~W rays apart,
     which is vertically-correlated image geometry — glass-column lanes
-    draw several long paths in a row and the tail decays slowly: 2.5%% of
-    paths dropped at budget 32, 0.095%% at 48.)"""
+    draw several long paths in a row and the tail decays slowly: 2.5% of
+    paths dropped at budget 32, 0.095% at 48.)"""
     return n_strips * max_depth
 
 
 # ---------------------------------------------------------------------------
 # Record kernel: one persistent iteration + residual record
 # ---------------------------------------------------------------------------
+
+def _advance_record_bank(u5, t, attrs_vals, strip_vals, st_vals,
+                         rad_vals, max_depth: int, S: int):
+    """The persistent state machine shared by both record kernels: shade the
+    swept bounce, compute the event masks, bank terminating rays' radiance
+    into their strip planes, advance continuing lanes, refill terminated
+    lanes from the next strip. Returns ``(rec21, new_state12, new_rad3S)``
+    as VALUES (the caller writes them to its refs). The flag packing here
+    is the replay kernel's contract — change them together."""
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, bo, sp, act) = st_vals
+    active = act != 0
+    zf = jnp.zeros(t.shape, jnp.float32)
+    (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
+     aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz,
+                                  dx, dy, dz, tx, ty, tz,
+                                  zf, zf, zf, active)
+
+    newb = bo + 1
+    cont = hitm & (newb < max_depth)
+    exhausted = hitm & ~cont
+    term = miss | exhausted
+    nxt_s = sp + 1
+
+    # The driver pads every strip to full width with guaranteed-miss dummy
+    # rays (one-iteration paths, output sliced off), so every next strip is
+    # valid — no per-lane ray-id bookkeeping in the kernel.
+    can = term & (nxt_s < S)
+
+    # Residual record: this iteration's INPUTS + packed events.
+    flags = (act
+             + (hitm.astype(jnp.int32) << 1)
+             + (term.astype(jnp.int32) << 2)
+             + (can.astype(jnp.int32) << 3)
+             + (sp << _F_STRIP_SHIFT))
+    rec21 = (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, flags) + attrs_vals
+
+    # Bank the terminating ray's radiance into its strip plane.
+    new_rad = []
+    for c in range(S):
+        sel = miss & (sp == c)
+        sf = sel.astype(jnp.float32)
+        nsf = 1.0 - sf
+        new_rad += [sf * bkr + nsf * rad_vals[3 * c + 0],
+                    sf * bkg + nsf * rad_vals[3 * c + 1],
+                    sf * bkb + nsf * rad_vals[3 * c + 2]]
+
+    # Advance on continue.
+    cf = cont.astype(jnp.float32)
+    ncf = 1.0 - cf
+    ox = cf * px + ncf * ox
+    oy = cf * py + ncf * oy
+    oz = cf * pz + ncf * oz
+    dx = cf * ndx + ncf * dx
+    dy = cf * ndy + ncf * dy
+    dz = cf * ndz + ncf * dz
+    tx = jnp.where(cont, tx * aar, tx)
+    ty = jnp.where(cont, ty * aag, ty)
+    tz = jnp.where(cont, tz * aab, tz)
+    bo = jnp.where(cont, newb, bo)
+
+    # Refill from the next strip's pre-generated ray.
+    canf = can.astype(jnp.float32)
+    nanf = 1.0 - canf
+    for c in range(1, S):
+        sel = (can & (nxt_s == c)).astype(jnp.float32)
+        nsl = 1.0 - sel
+        ox = sel * strip_vals[6 * c + 0] + nsl * ox
+        oy = sel * strip_vals[6 * c + 1] + nsl * oy
+        oz = sel * strip_vals[6 * c + 2] + nsl * oz
+        dx = sel * strip_vals[6 * c + 3] + nsl * dx
+        dy = sel * strip_vals[6 * c + 4] + nsl * dy
+        dz = sel * strip_vals[6 * c + 5] + nsl * dz
+    tx = canf * 1.0 + nanf * tx
+    ty = canf * 1.0 + nanf * ty
+    tz = canf * 1.0 + nanf * tz
+    bo = jnp.where(can, 0, bo)
+    sp = jnp.where(can, nxt_s, sp)
+    act = ((active & ~term) | can).astype(jnp.int32)
+
+    new_state = (ox, oy, oz, dx, dy, dz, tx, ty, tz, bo, sp, act)
+    return rec21, new_state, tuple(new_rad)
+
 
 def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
                            n_strips: int, hw_prng: bool):
@@ -124,87 +207,15 @@ def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
             u5 = _uniforms(t_ref.shape, 5)
         else:
             u5 = u5_ref[:]
-
-        ox, oy, oz = st_in[0][:], st_in[1][:], st_in[2][:]
-        dx, dy, dz = st_in[3][:], st_in[4][:], st_in[5][:]
-        tx, ty, tz = st_in[6][:], st_in[7][:], st_in[8][:]
-        bo, sp, act = st_in[9][:], st_in[10][:], st_in[11][:]
-        t = t_ref[:]
-        attrs_vals = tuple(a[:] for a in attr_refs)
-        active = act != 0
-
-        zf = jnp.zeros(t.shape, jnp.float32)
-        (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
-         aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz,
-                                      dx, dy, dz, tx, ty, tz,
-                                      zf, zf, zf, active)
-
-        newb = bo + 1
-        cont = hitm & (newb < max_depth)
-        exhausted = hitm & ~cont
-        term = miss | exhausted
-        nxt_s = sp + 1
-
-        # The driver pads every strip to full width with sky-dummy rays
-        # (one-iteration paths, output sliced off), so every next strip is
-        # valid — no per-lane ray-id bookkeeping in the kernel.
-        can = term & (nxt_s < S)
-
-        # Residual record: this iteration's INPUTS + packed events.
-        flags = (act
-                 + (hitm.astype(jnp.int32) << 1)
-                 + (term.astype(jnp.int32) << 2)
-                 + (can.astype(jnp.int32) << 3)
-                 + (sp << _F_STRIP_SHIFT))
-        for ref, val in zip(rec_out,
-                            (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, flags)
-                            + attrs_vals):
+        rec21, new_state, new_rad = _advance_record_bank(
+            u5, t_ref[:], tuple(a[:] for a in attr_refs),
+            tuple(r[:] for r in strip_refs), tuple(r[:] for r in st_in),
+            tuple(r[:] for r in rad_in), max_depth, S)
+        for ref, val in zip(rec_out, rec21):
             ref[0] = val
-
-        # Bank the terminating ray's radiance into its strip plane.
-        for c in range(S):
-            sel = miss & (sp == c)
-            sf = sel.astype(jnp.float32)
-            nsf = 1.0 - sf
-            rad_out[3 * c + 0][:] = sf * bkr + nsf * rad_in[3 * c + 0][:]
-            rad_out[3 * c + 1][:] = sf * bkg + nsf * rad_in[3 * c + 1][:]
-            rad_out[3 * c + 2][:] = sf * bkb + nsf * rad_in[3 * c + 2][:]
-
-        # Advance on continue.
-        cf = cont.astype(jnp.float32)
-        ncf = 1.0 - cf
-        ox = cf * px + ncf * ox
-        oy = cf * py + ncf * oy
-        oz = cf * pz + ncf * oz
-        dx = cf * ndx + ncf * dx
-        dy = cf * ndy + ncf * dy
-        dz = cf * ndz + ncf * dz
-        tx = jnp.where(cont, tx * aar, tx)
-        ty = jnp.where(cont, ty * aag, ty)
-        tz = jnp.where(cont, tz * aab, tz)
-        bo = jnp.where(cont, newb, bo)
-
-        # Refill from the next strip's pre-generated ray.
-        canf = can.astype(jnp.float32)
-        nanf = 1.0 - canf
-        for c in range(1, S):
-            sel = (can & (nxt_s == c)).astype(jnp.float32)
-            nsl = 1.0 - sel
-            ox = sel * strip_refs[6 * c + 0][:] + nsl * ox
-            oy = sel * strip_refs[6 * c + 1][:] + nsl * oy
-            oz = sel * strip_refs[6 * c + 2][:] + nsl * oz
-            dx = sel * strip_refs[6 * c + 3][:] + nsl * dx
-            dy = sel * strip_refs[6 * c + 4][:] + nsl * dy
-            dz = sel * strip_refs[6 * c + 5][:] + nsl * dz
-        tx = canf * 1.0 + nanf * tx
-        ty = canf * 1.0 + nanf * ty
-        tz = canf * 1.0 + nanf * tz
-        bo = jnp.where(can, 0, bo)
-        sp = jnp.where(can, nxt_s, sp)
-        act = ((active & ~term) | can).astype(jnp.int32)
-
-        for ref, val in zip(st_out, (ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                                     bo, sp, act)):
+        for ref, val in zip(rad_out, new_rad):
+            ref[:] = val
+        for ref, val in zip(st_out, new_state):
             ref[:] = val
 
 
@@ -365,70 +376,15 @@ def _persist_record_fused_kernel(i_ref, seed_ref, cx_ref, cy_ref, cz_ref,
             jax.lax.fori_loop(0, n_spheres // unroll, sbody, init)
         attrs_vals = (acx, acy, acz, arr, aar_, aag_, aab_, afz, air, amt)
 
-        zf = jnp.zeros(t.shape, jnp.float32)
-        (bkr, bkg, bkb, hitm, miss, px, py, pz, ndx, ndy, ndz,
-         aar, aag, aab) = _shade_core(u5, t, attrs_vals, ox, oy, oz,
-                                      dx, dy, dz, tx, ty, tz,
-                                      zf, zf, zf, active)
-
-        newb = bo + 1
-        cont = hitm & (newb < max_depth)
-        exhausted = hitm & ~cont
-        term = miss | exhausted
-        nxt_s = sp + 1
-        can = term & (nxt_s < S)
-
-        flags = (act
-                 + (hitm.astype(jnp.int32) << 1)
-                 + (term.astype(jnp.int32) << 2)
-                 + (can.astype(jnp.int32) << 3)
-                 + (sp << _F_STRIP_SHIFT))
-        for ref, val in zip(rec_out,
-                            (ox, oy, oz, dx, dy, dz, tx, ty, tz, t, flags)
-                            + attrs_vals + (idx,)):
+        rec21, new_state, new_rad = _advance_record_bank(
+            u5, t, attrs_vals, tuple(r[:] for r in strip_refs),
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, bo, sp, act),
+            tuple(r[:] for r in rad_in), max_depth, S)
+        for ref, val in zip(rec_out, rec21 + (idx,)):
             ref[0] = val
-
-        for c in range(S):
-            sel = miss & (sp == c)
-            sf = sel.astype(jnp.float32)
-            nsf = 1.0 - sf
-            rad_out[3 * c + 0][:] = sf * bkr + nsf * rad_in[3 * c + 0][:]
-            rad_out[3 * c + 1][:] = sf * bkg + nsf * rad_in[3 * c + 1][:]
-            rad_out[3 * c + 2][:] = sf * bkb + nsf * rad_in[3 * c + 2][:]
-
-        cf = cont.astype(jnp.float32)
-        ncf = 1.0 - cf
-        ox = cf * px + ncf * ox
-        oy = cf * py + ncf * oy
-        oz = cf * pz + ncf * oz
-        dx = cf * ndx + ncf * dx
-        dy = cf * ndy + ncf * dy
-        dz = cf * ndz + ncf * dz
-        tx = jnp.where(cont, tx * aar, tx)
-        ty = jnp.where(cont, ty * aag, ty)
-        tz = jnp.where(cont, tz * aab, tz)
-        bo = jnp.where(cont, newb, bo)
-
-        canf = can.astype(jnp.float32)
-        nanf = 1.0 - canf
-        for c in range(1, S):
-            sel = (can & (nxt_s == c)).astype(jnp.float32)
-            nsl = 1.0 - sel
-            ox = sel * strip_refs[6 * c + 0][:] + nsl * ox
-            oy = sel * strip_refs[6 * c + 1][:] + nsl * oy
-            oz = sel * strip_refs[6 * c + 2][:] + nsl * oz
-            dx = sel * strip_refs[6 * c + 3][:] + nsl * dx
-            dy = sel * strip_refs[6 * c + 4][:] + nsl * dy
-            dz = sel * strip_refs[6 * c + 5][:] + nsl * dz
-        tx = canf * 1.0 + nanf * tx
-        ty = canf * 1.0 + nanf * ty
-        tz = canf * 1.0 + nanf * tz
-        bo = jnp.where(can, 0, bo)
-        sp = jnp.where(can, nxt_s, sp)
-        act = ((active & ~term) | can).astype(jnp.int32)
-
-        for ref, val in zip(st_out, (ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                                     bo, sp, act)):
+        for ref, val in zip(rad_out, new_rad):
+            ref[:] = val
+        for ref, val in zip(st_out, new_state):
             ref[:] = val
 
 
@@ -668,6 +624,35 @@ def _u5_for(key, i, rows):
                               (5, rows, LANES), dtype=jnp.float32)
 
 
+def _unstrip3(planes, idx3, S, delta, R):
+    """Inverse of the per-strip roll layout: gather 3 components whose
+    strip planes sit at ``planes[idx3(c, j)]`` back into ``[R, 3]``."""
+    return jnp.stack(
+        [jnp.concatenate(
+            [jnp.roll(planes[idx3(c, j)].reshape(-1), c * delta)
+             for c in range(S)])[:R]
+         for j in range(3)], axis=-1)
+
+
+def _warn_dropped(dropped):
+    """Surface nonzero dropped-path counts at run time (budget/boundary
+    overflow biases the image and gradients low — the same contract and
+    warning pattern as the staged paths, render.py). jax.debug.print is a
+    host callback the axon PJRT cannot lower, so the warning is elided on
+    that platform; audit with persist_dropped_paths there."""
+    from ...utils.platform import host_callbacks_unsupported
+    if host_callbacks_unsupported():
+        return
+    jax.lax.cond(
+        dropped > 0,
+        lambda c: jax.debug.print(
+            "WARNING trace_recorded_persist: {} paths dropped (iteration "
+            "budget or tail-compact boundary overflow) — radiance and "
+            "gradients biased low; raise n_iters / the boundary width or "
+            "disable tail_compact", c),
+        lambda c: None, dropped)
+
+
 def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
                       rec, rec_idx, counts, i0, cap_abs, max_depth, S,
                       tmin, interpret, fused_step=False):
@@ -753,10 +738,15 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
         return [jnp.roll(xp[s], -s * delta).reshape(rows, LANES)
                 for s in range(S)]
 
-    # Padding rays are straight-up sky rays: unit direction, one-iteration
-    # paths, output sliced off — every (strip, lane) slot is a real path.
-    so = [strips(origin[:, j], 0.0) for j in range(3)]
-    sd = [strips(direction[:, j], 1.0 if j == 1 else 0.0) for j in range(3)]
+    # Padding rays must be ONE-ITERATION sky paths (output sliced off) so
+    # every (strip, lane) slot is a real path and the kernel needs no
+    # validity logic. A ray from far below the scene pointing straight down
+    # cannot hit any sphere with |center| + radius < 1e7 — every book scene
+    # by orders of magnitude. (An origin ray pointing up is NOT safe: in
+    # the flagship scene it hits the glass sphere at (0,1,0) and bounces
+    # multi-depth, occupying compaction slots.)
+    so = [strips(origin[:, j], -1e7 if j == 1 else 0.0) for j in range(3)]
+    sd = [strips(direction[:, j], -1.0 if j == 1 else 0.0) for j in range(3)]
     strip_planes = tuple(p for s in range(S)
                          for p in (so[0][s], so[1][s], so[2][s],
                                    sd[0][s], sd[1][s], sd[2][s]))
@@ -792,14 +782,11 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
         rec1 = rec1[:21]
 
     if tail_compact is None:
-        radiance = jnp.stack(
-            [jnp.concatenate(
-                [jnp.roll(rad[3 * c + j].reshape(-1), c * delta)
-                 for c in range(S)])[:R]
-             for j in range(3)], axis=-1)
+        radiance = _unstrip3(rad, lambda c, j: 3 * c + j, S, delta, R)
         # Overflow diagnostics (0 unless the caller shrank the cap below
         # the worst case): paths in flight + strips never started.
         dropped = jnp.sum(state[11]) + jnp.sum(S - 1 - state[10])
+        _warn_dropped(dropped)
         return (radiance.astype(origin.dtype),
                 (rec1, rec_idx1, counts1), dropped)
 
@@ -837,11 +824,7 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
                   .at[sel].add(rad2[c].reshape(-1) * v2f)
                   .reshape(rows, LANES))
 
-    radiance = jnp.stack(
-        [jnp.concatenate(
-            [jnp.roll(rad[3 * c + j].reshape(-1), c * delta)
-             for c in range(S)])[:R]
-         for j in range(3)], axis=-1)
+    radiance = _unstrip3(rad, lambda c, j: 3 * c + j, S, delta, R)
 
     # Dropped: boundary overflow (survivors beyond W2 never continue:
     # their in-flight path + unstarted strips) + phase-2 cap leftovers.
@@ -852,6 +835,7 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     dropped = (jnp.sum(unsel * (S - sp_flat))
                + jnp.sum(state2[11] * v2p)
                + jnp.sum((S - 1 - state2[10]) * v2p))
+    _warn_dropped(dropped)
     res = (rec1, rec_idx1, counts1, rec2, rec_idx2, counts2, sel, valid2)
     return radiance.astype(origin.dtype), res, dropped
 
@@ -1014,16 +998,8 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
     dep = list(dep)
     for j in range(6):
         dep[j] = cot[j]
-    g_org = jnp.stack(
-        [jnp.concatenate(
-            [jnp.roll(dep[6 * c + j].reshape(-1), c * delta)
-             for c in range(S)])[:R]
-         for j in range(3)], axis=-1)
-    g_dir = jnp.stack(
-        [jnp.concatenate(
-            [jnp.roll(dep[6 * c + 3 + j].reshape(-1), c * delta)
-             for c in range(S)])[:R]
-         for j in range(3)], axis=-1)
+    g_org = _unstrip3(dep, lambda c, j: 6 * c + j, S, delta, R)
+    g_dir = _unstrip3(dep, lambda c, j: 6 * c + 3 + j, S, delta, R)
     return g_attr, g_org, g_dir
 
 

@@ -375,8 +375,8 @@ def twin_persist_tc(scene, origin, direction, key, b1, wdiv,
         return jnp.stack([jnp.roll(xp[c], -c * delta, axis=0)
                           for c in range(n_strips)])
 
-    so = strips(origin, (0.0, 0.0, 0.0))
-    sd = strips(direction, (0.0, 1.0, 0.0))
+    so = strips(origin, (0.0, -1e7, 0.0))
+    sd = strips(direction, (0.0, -1.0, 0.0))
     rad = jnp.zeros((n_strips, W, 3), f32)
 
     def run_phase(o, d, thr, bo, sp, act, so_p, sd_p, i0, cap, width, rws):
