@@ -95,6 +95,39 @@ def _params_of(scene: Scene) -> SceneGrads:
     return SceneGrads(**{f: getattr(scene, f) for f in DIFF_FIELDS})
 
 
+def resolve_grad_path(kwargs: dict, n_pix: int, backend: str) -> dict:
+    """Resolve the gradient-integrator selection in place (and return it).
+
+    Explicit flags (remat / recorded / recorded_fused / recorded_persist /
+    recorded_stage) are always respected. With none given, the TPU default
+    is the persistent-record kernel pair with tail compaction for big
+    renders (13.8 Mpaths/s flagship value_and_grad, vs 7.99 fixed-depth
+    fused and 2.78 XLA recorded — bench_history grad_step_* rows); the
+    fixed-depth pair for small images, where the >=8192-lane strip geometry
+    degenerates to one strip plus dummy refills; and the XLA recorded path
+    on CPU. The (44, 16) boundary is verified zero-drop on all six scenes
+    at flagship occupancies and scales with max_depth; audit unusual scenes
+    with ``persist_dropped_paths``, or pin ``recorded_persist=(8, None)``
+    for the compaction-free exact path."""
+    path_chosen = any(k in kwargs for k in
+                      ("remat", "recorded", "recorded_fused",
+                       "recorded_persist", "recorded_stage"))
+    if kwargs.get("recorded_fused") or kwargs.get("recorded_persist"):
+        kwargs["recorded"] = True
+    kwargs.setdefault("recorded", not kwargs.get("remat", False))
+    kwargs.setdefault("remat", not kwargs["recorded"])
+    if not path_chosen and backend != "cpu":
+        if n_pix >= (1 << 17):
+            # Boundary iteration scales with depth (44 was tuned and
+            # zero-drop-verified at the default depth 16).
+            depth = kwargs.get("max_depth", 16)
+            b1 = max(-(-44 * depth // 16), 8)
+            kwargs["recorded_persist"] = (8, None, (b1, 16))
+        else:
+            kwargs["recorded_fused"] = True
+    return kwargs
+
+
 def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
                 image_width: int, n_samples: int,
                 loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
@@ -111,39 +144,9 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     any explicit ``recorded*`` flag to pin a variant (see
     scripts/grad_bench.py for the measured menu). ``pixel_chunk`` is
     auto-picked to keep path records inside HBM."""
-    # An explicit remat=True without recorded= selects the XLA-transpose
-    # path; otherwise the recorded integrator is the default. The fused
-    # kernel-pair variant (recorded_fused=True) and the persistent-record
-    # pair (recorded_persist=(n_strips, n_iters|None)) imply recorded.
-    path_chosen = any(k in kwargs for k in
-                      ("remat", "recorded", "recorded_fused",
-                       "recorded_persist", "recorded_stage"))
-    if kwargs.get("recorded_fused") or kwargs.get("recorded_persist"):
-        kwargs["recorded"] = True
-    kwargs.setdefault("recorded", not kwargs.get("remat", False))
-    kwargs.setdefault("remat", not kwargs["recorded"])
-    if not path_chosen:
-        # TPU default: the persistent-record kernel pair with tail
-        # compaction for big renders (13.9 Mpaths/s flagship
-        # value_and_grad, vs 7.99 fixed-depth fused and 2.78 XLA recorded
-        # — bench_history grad_step_* rows); the fixed-depth pair for
-        # small images, where the >=8192-lane strip geometry degenerates
-        # to one strip plus dummy refills. CPU keeps the XLA recorded
-        # path. The (44, 16) boundary is verified zero-drop on all six
-        # scenes at flagship occupancies (bench_history); audit unusual
-        # scenes with persist_dropped_paths, or pin
-        # recorded_persist=(8, None) for the compaction-free exact path.
-        import jax as _jax
-        if _jax.default_backend() != "cpu":
-            n_pix = target.shape[0] * image_width
-            if n_pix >= (1 << 17):
-                # Boundary iteration scales with depth (44 was tuned and
-                # zero-drop-verified at the default depth 16).
-                depth = kwargs.get("max_depth", 16)
-                b1 = max(-(-44 * depth // 16), 8)
-                kwargs["recorded_persist"] = (8, None, (b1, 16))
-            else:
-                kwargs["recorded_fused"] = True
+    import jax as _jax
+    resolve_grad_path(kwargs, target.shape[0] * image_width,
+                      _jax.default_backend())
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
         persist = kwargs.get("recorded_persist")
         if persist:

@@ -247,3 +247,27 @@ def test_recorded_staged_budget_contract():
     # the untruncated render. (Per-pixel comparison is not meaningful — the
     # tail stage draws a different positional stream than the unstaged path.)
     assert rad.mean() < full.mean()
+
+
+def test_resolve_grad_path_decision_table():
+    from raytracingweekend_jl_tpu.grad import resolve_grad_path
+    big, small = 1 << 21, 1 << 14
+    # TPU, no flags, big image -> persistent pair + depth-scaled boundary.
+    kw = resolve_grad_path({}, big, "tpu")
+    assert kw["recorded"] and kw["recorded_persist"] == (8, None, (44, 16))
+    kw = resolve_grad_path({"max_depth": 32}, big, "tpu")
+    assert kw["recorded_persist"] == (8, None, (88, 16))
+    # TPU, small image -> fixed-depth fused pair.
+    kw = resolve_grad_path({}, small, "tpu")
+    assert kw.get("recorded_fused") and "recorded_persist" not in kw
+    # CPU, no flags -> XLA recorded path, no kernel pairs.
+    kw = resolve_grad_path({}, big, "cpu")
+    assert kw["recorded"] and "recorded_persist" not in kw \
+        and "recorded_fused" not in kw
+    # Explicit flags are always respected (no auto-upgrade).
+    kw = resolve_grad_path({"recorded": True}, big, "tpu")
+    assert "recorded_persist" not in kw and "recorded_fused" not in kw
+    kw = resolve_grad_path({"remat": True}, big, "tpu")
+    assert kw["remat"] and not kw["recorded"]
+    kw = resolve_grad_path({"recorded_fused": True}, big, "tpu")
+    assert kw["recorded"] and "recorded_persist" not in kw
