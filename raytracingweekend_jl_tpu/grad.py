@@ -47,7 +47,8 @@ _FUSED_BYTES_PER_RAY_BOUNCE = 21 * 4 + 4
 
 def auto_pixel_chunk(n_pix: int, max_depth: int,
                      budget: int | None = None,
-                     bytes_per_ray_bounce: int | None = None) -> int | None:
+                     bytes_per_ray_bounce: int | None = None,
+                     soft_cap: int = 1 << 20) -> int | None:
     """Pixel chunk that keeps the recorded-path residuals inside HBM.
 
     The recorded integrator (ops/grad_trace.py) stashes ~12 floats per ray per
@@ -60,10 +61,13 @@ def auto_pixel_chunk(n_pix: int, max_depth: int,
     if bytes_per_ray_bounce is None:
         bytes_per_ray_bounce = _RECORD_BYTES_PER_RAY_BOUNCE
     r_max = budget // (bytes_per_ray_bounce * max(max_depth, 1))
-    # Soft cap besides HBM: ~1M-ray chunks measured fastest (full-image
-    # 2M-ray records run 2-3x slower — bench_history grad_step_fused_full /
-    # grad_step_recorded_full rows — from record-buffer memory pressure).
-    r_max = min(r_max, 1 << 20)
+    # Soft cap besides HBM: ~1M-ray chunks measured fastest for the
+    # fixed-depth records (full-image 2M-ray records run 2-3x slower —
+    # grad_step_fused_full / grad_step_recorded_full rows — from
+    # record-buffer memory pressure); the persistent record is ~3x smaller
+    # and measured AT PARITY unchunked (grad_step_persist_tc_full), so its
+    # caller raises the cap to run the flagship as one chunk.
+    r_max = min(r_max, soft_cap)
     if n_pix <= r_max:
         return None
     # BALANCE the chunks: every chunk is padded to the chunk size and pays
@@ -158,14 +162,17 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
             depth = kwargs.get("max_depth", 16)
             n_it = default_n_iters(S_p, depth) if n_it is None else n_it
             bprb = max((21 * 4 + 4) * n_it // (S_p * depth), 1)
+            soft_cap = 1 << 21
         elif kwargs.get("recorded_fused"):
             bprb = _FUSED_BYTES_PER_RAY_BOUNCE
+            soft_cap = 1 << 20
         else:
             bprb = None
+            soft_cap = 1 << 20
         kwargs["pixel_chunk"] = auto_pixel_chunk(
             target.shape[0] * image_width,
             kwargs.get("max_depth", 16),
-            bytes_per_ray_bounce=bprb)
+            bytes_per_ray_bounce=bprb, soft_cap=soft_cap)
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

@@ -154,6 +154,11 @@ def main() -> None:
         ("persist_s8_tc44_auto",
          dict(remat=False, recorded=True,
               recorded_persist=(8, None, (44, 16)))),
+        # Single unchunked flagship record: the persistent record is ~3x
+        # smaller than the fixed-depth one, so the whole image fits HBM.
+        ("persist_tc_full",
+         dict(remat=False, recorded=True, pixel_chunk=None,
+              recorded_persist=(8, None, (44, 16)))),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),
