@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--center-jitter", type=float, default=0.12)
     ap.add_argument("--albedo-scale", type=float, default=0.55)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan", action="store_true",
+                    help="run the whole fit as ONE jitted lax.scan "
+                         "(optimize.fit_scene_scan) — pays the tunnel "
+                         "round-trips once instead of ~5x per step")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(__file__), "..", "examples", "inverse"))
@@ -125,11 +129,20 @@ def main() -> None:
                 "midway.png")
 
     t_all0 = time.time()
-    res = fit_scene(scene0, cam, target, W, spp, steps=args.steps,
-                    seed=args.seed, lr_albedo=args.lr,
-                    lr_center=args.lr_center, spsa_c=args.spsa_c,
-                    spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
-                    on_step=on_step)
+    if args.scan:
+        from raytracingweekend_jl_tpu.optimize import fit_scene_scan
+        res = fit_scene_scan(scene0, cam, target, W, spp, steps=args.steps,
+                             seed=args.seed, lr_albedo=args.lr,
+                             lr_center=args.lr_center, spsa_c=args.spsa_c,
+                             spsa_pairs=args.spsa_pairs, render_kwargs=tkw)
+        lf.write("\n".join(json.dumps({"step": i, "loss": l})
+                            for i, l in enumerate(res.losses)) + "\n")
+    else:
+        res = fit_scene(scene0, cam, target, W, spp, steps=args.steps,
+                        seed=args.seed, lr_albedo=args.lr,
+                        lr_center=args.lr_center, spsa_c=args.spsa_c,
+                        spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                        on_step=on_step)
     lf.close()
     losses = res.losses
     movable = movable_mask(scene_true)
@@ -150,7 +163,8 @@ def main() -> None:
     steady = sorted(l for l in losses)  # noqa: E741
     mean_step_s = (time.time() - t_all0) / args.steps
     rec = {"ts": time.time(),
-           "label": f"inverse_{args.scene}_{W}x{H}x{spp}_{args.steps}steps",
+           "label": (f"inverse_{args.scene}_{W}x{H}x{spp}_{args.steps}steps"
+                     + ("_scan" if args.scan else "")),
            "loss_init": round(losses[0], 6), "loss_final": round(losses[-1], 6),
            "loss_min": round(steady[0], 6),
            "center_err_init": round(c_err0, 4),
