@@ -77,3 +77,27 @@ def test_fit_scene_keeps_immovable_spheres_fixed():
     np.testing.assert_array_equal(
         np.asarray(res.scene.albedo)[~movable],
         np.asarray(scene0.albedo)[~movable])
+
+
+def test_fit_scene_scan_descends():
+    # The single-dispatch scan fitter must descend like the loop fitter
+    # (same estimator; SPSA stream differs — jax.random instead of host
+    # numpy).
+    import raytracingweekend_jl_tpu as rtw
+    from raytracingweekend_jl_tpu.optimize import fit_scene_scan, movable_mask
+    from raytracingweekend_jl_tpu.render import render_radiance
+
+    scene = rtw.scene_4_spheres()
+    cam = rtw.t_default_cam()
+    target = render_radiance(scene, cam, 48, 2, image_height=27, seed=0)
+    mov = movable_mask(scene)
+    k = jax.random.PRNGKey(7)
+    jit = np.array(jax.random.uniform(k, scene.center.shape,
+                                      minval=-0.1, maxval=0.1))
+    jit[~mov] = 0
+    bad = scene._replace(center=jnp.asarray(np.asarray(scene.center) + jit),
+                         albedo=jnp.clip(scene.albedo * 0.6 + 0.1, 0, 1))
+    res = fit_scene_scan(bad, cam, target, 48, 2, steps=10, seed=0)
+    assert len(res.losses) == 10
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < 0.75 * res.losses[0], res.losses
