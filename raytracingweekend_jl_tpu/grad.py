@@ -55,7 +55,10 @@ def auto_pixel_chunk(n_pix: int, max_depth: int,
     bounce; a flagship-resolution ``render_grads`` with default args must not
     OOM just because the caller didn't read a docstring (the round-2 contract
     was implicit). Returns ``None`` when the whole image fits, else the
-    largest lane-aligned chunk within the budget.
+    largest lane-aligned chunk within the budget. The floor is 8192 rays —
+    one (64, 128) Pallas block, the hard lane minimum — so a pathologically
+    small budget floors there rather than returning an unrunnable chunk
+    (8192 rays of records is ~12 MB, negligible on any real device).
     """
     budget = RECORD_HBM_BUDGET if budget is None else budget
     if bytes_per_ray_bounce is None:
@@ -113,6 +116,22 @@ def resolve_grad_path(kwargs: dict, n_pix: int, backend: str) -> dict:
     at flagship occupancies and scales with max_depth; audit unusual scenes
     with ``persist_dropped_paths``, or pin ``recorded_persist=(8, None)``
     for the compaction-free exact path."""
+    # Forward-only fast paths have no VJP: differentiating them would fail
+    # deep inside jax with "differentiation rule for pallas_call not
+    # implemented" (persistent) or silently bypass the recorded integrator
+    # (compact). Fail fast with the actual contract instead.
+    for fwd_only in ("persistent", "compact"):
+        if kwargs.get(fwd_only):
+            raise ValueError(
+                f"{fwd_only}=True is a forward-only rendering flag; the "
+                "gradient integrators are selected via recorded/"
+                "recorded_fused/recorded_persist (or left to the default)")
+    rp = kwargs.get("recorded_persist")
+    if rp is not None and (isinstance(rp, bool) or len(rp) < 2):
+        raise ValueError(
+            "recorded_persist must be (n_strips, n_iters|None[, "
+            "tail_compact]) — e.g. (8, None) or (8, None, (44, 16)); "
+            f"got {rp!r}")
     path_chosen = any(k in kwargs for k in
                       ("remat", "recorded", "recorded_fused",
                        "recorded_persist", "recorded_stage"))
@@ -148,6 +167,12 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     any explicit ``recorded*`` flag to pin a variant (see
     scripts/grad_bench.py for the measured menu). ``pixel_chunk`` is
     auto-picked to keep path records inside HBM."""
+    # The image height is defined by `target`; a caller-supplied duplicate
+    # must agree (render_radiance would otherwise get two values).
+    ih = kwargs.pop("image_height", None)
+    if ih is not None and ih != target.shape[0]:
+        raise ValueError(f"image_height={ih} conflicts with "
+                         f"target height {target.shape[0]}")
     import jax as _jax
     resolve_grad_path(kwargs, target.shape[0] * image_width,
                       _jax.default_backend())
@@ -201,5 +226,5 @@ def sgd_inverse_render_step(scene: Scene, cam: Camera, target: jnp.ndarray,
     the sharded one)."""
     loss, grads = render_grads(scene, cam, target, image_width, n_samples, **kwargs)
     new_params = jax.tree.map(lambda p, g: p - lr * g, _params_of(scene),
-                              SceneGrads(*grads))
+                              grads)
     return loss, _with_params(scene, new_params)

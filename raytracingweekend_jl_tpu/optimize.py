@@ -75,7 +75,11 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     import optax
 
     H = target.shape[0]
-    tkw = dict(render_kwargs or {"recorded": True})
+    # Empty/None render_kwargs defer to grad.resolve_grad_path's backend
+    # auto-pick (the persistent-record pair on TPU — 5x the XLA recorded
+    # path the old hardcoded default pinned).
+    tkw = dict(render_kwargs) if render_kwargs else {}
+    seed = tkw.pop("seed", seed)
     on_tpu = jax.default_backend() != "cpu"
     if movable is None:
         movable = movable_mask(scene0)
@@ -89,7 +93,9 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     opt_state = opt.init(params)
 
     def step_loss(p):
-        s = scene0._replace(center=p["center"],
+        # Centers are fit by SPSA (their AD gradient is discarded), so the
+        # backward pass need not build their cotangent chain at all.
+        s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
                             albedo=jnp.clip(p["albedo"], 0.0, 1.0))
         return render_loss(s, cam, target, image_width, n_samples,
                            seed=seed, **tkw)
@@ -106,7 +112,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
                               image_height=H, seed=seed, persistent=on_tpu)
         return jnp.mean((img - target) ** 2)
 
-    spsa_rng = np.random.default_rng(31)
+    spsa_rng = np.random.default_rng(31 + seed)
 
     def spsa_center_grad(p):
         # Plain-Python probe loop over ONE jitted forward (vmapping the
@@ -158,7 +164,8 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     import optax
 
     H = target.shape[0]
-    tkw = dict(render_kwargs or {"recorded": True})
+    tkw = dict(render_kwargs) if render_kwargs else {}
+    seed = tkw.pop("seed", seed)
     on_tpu = jax.default_backend() != "cpu"
     if movable is None:
         movable = movable_mask(scene0)
@@ -170,7 +177,8 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
         {"center": "center", "albedo": "albedo"})
 
     def step_loss(p):
-        s = scene0._replace(center=p["center"],
+        # Centers come from SPSA; skip their AD cotangent chain.
+        s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
                             albedo=jnp.clip(p["albedo"], 0.0, 1.0))
         return render_loss(s, cam, target, image_width, n_samples,
                            seed=seed, **tkw)

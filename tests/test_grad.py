@@ -271,3 +271,16 @@ def test_resolve_grad_path_decision_table():
     assert kw["remat"] and not kw["recorded"]
     kw = resolve_grad_path({"recorded_fused": True}, big, "tpu")
     assert kw["recorded"] and "recorded_persist" not in kw
+
+
+def test_render_loss_rejects_forward_only_flags():
+    from raytracingweekend_jl_tpu.grad import resolve_grad_path
+    import pytest
+    with pytest.raises(ValueError, match="forward-only"):
+        resolve_grad_path({"persistent": True}, 1 << 20, "tpu")
+    with pytest.raises(ValueError, match="forward-only"):
+        resolve_grad_path({"compact": True}, 1 << 20, "cpu")
+    with pytest.raises(ValueError, match="recorded_persist must be"):
+        resolve_grad_path({"recorded_persist": True}, 1 << 20, "tpu")
+    with pytest.raises(ValueError, match="recorded_persist must be"):
+        resolve_grad_path({"recorded_persist": (8,)}, 1 << 20, "tpu")
