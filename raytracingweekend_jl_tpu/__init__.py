@@ -27,5 +27,10 @@ from .models.scenes import (scene_2_spheres, scene_4_spheres, scene_diel_spheres
                             scene_diel_spheres_hollow, scene_blue_red_spheres,
                             scene_random_spheres, scene_random_spheres_reference,
                             save_scene, load_scene, ALL_SCENES)
+# Differentiable-rendering / training surface (no reference equivalent —
+# SURVEY.md §2.9 north star).
+from .grad import (render_loss, render_grads, sgd_inverse_render_step,
+                   SceneGrads, resolve_grad_path)
+from .optimize import fit_scene, fit_scene_scan, movable_mask, FitResult
 
 __version__ = "0.1.0"
