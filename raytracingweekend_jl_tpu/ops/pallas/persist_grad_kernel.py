@@ -63,6 +63,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..intersect import BIG
 from .intersect_kernel import LANES, _pad_rows
 from .shade_kernel import _shade_core, _uniforms, SHADE_ROWS
+
+
+def _persist_block_rows(n_strips: int) -> int:
+    """Block rows for the persistent kernels: the tuned 64 up to S=8;
+    S>=16 carries too many strip/rad planes for 64-row blocks (a
+    reproducible remote-compile failure, almost certainly VMEM) and runs
+    at 32. Env-tunable for A/B (RTW_PERSIST_BLOCK_ROWS)."""
+    env = os.environ.get("RTW_PERSIST_BLOCK_ROWS")
+    if env:
+        return int(env)
+    return SHADE_ROWS if n_strips < 16 else 32
 from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
                           _split3_bf16, _float0_like)
 
@@ -229,19 +240,20 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
     updated in place at slice ``iteration``; ``strip_planes`` = 6S ray
     planes."""
     rows = state[0].shape[0]
-    grid = rows // SHADE_ROWS
-    hw_prng = u5 is None
     S = n_strips
+    br = _persist_block_rows(S)
+    grid = rows // br
+    hw_prng = u5 is None
 
-    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((br, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+    rec_spec = pl.BlockSpec((1, br, LANES),
                             lambda i, b_ref, *_: (b_ref[0], i, 0),
                             memory_space=pltpu.VMEM)
     rng_specs, rng_planes = [], []
     if not hw_prng:
         rng_planes = [u5]
-        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+        rng_specs = [pl.BlockSpec((5, br, LANES),
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
@@ -545,19 +557,20 @@ def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
     slice, the carried cotangents, and the strip deposit planes; returns
     (cot, dep, dattr9)."""
     rows = cot[0].shape[0]
-    grid = rows // SHADE_ROWS
-    hw_prng = u5 is None
     S = n_strips
+    br = _persist_block_rows(S)
+    grid = rows // br
+    hw_prng = u5 is None
 
-    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((br, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+    rec_spec = pl.BlockSpec((1, br, LANES),
                             lambda i, b_ref, *_: (b_ref[0], i, 0),
                             memory_space=pltpu.VMEM)
     rng_specs, rng_planes = [], []
     if not hw_prng:
         rng_planes = [u5]
-        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+        rng_specs = [pl.BlockSpec((5, br, LANES),
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
@@ -765,7 +778,11 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
             raise ValueError("tail_compact requires fused_step=False")
         b1, wdiv = tail_compact
         b1 = min(b1, n_iters)
-        rows2 = max(rows // wdiv, SHADE_ROWS)
+        # Phase-2 rows MUST be a whole number of kernel blocks: a remainder
+        # would silently fall outside the grid and feed unwritten memory to
+        # the replay (caught by the S=12 blown-gradient regression).
+        br2 = _persist_block_rows(n_strips)
+        rows2 = -(-max(rows // wdiv, br2) // br2) * br2
         W2 = rows2 * LANES
         cap2 = n_iters  # worst case for any surviving lane
     else:

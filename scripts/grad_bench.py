@@ -154,6 +154,15 @@ def main() -> None:
         ("persist_s8_tc44_auto",
          dict(remat=False, recorded=True,
               recorded_persist=(8, None, (44, 16)))),
+        ("persist_s12_tc64_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(12, None, (64, 16)))),
+        ("persist_s16_tc88_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(16, None, (88, 16)))),
+        ("persist_s16_tc72_auto",
+         dict(remat=False, recorded=True,
+              recorded_persist=(16, None, (72, 16)))),
         # Single unchunked flagship record: the persistent record is ~3x
         # smaller than the fixed-depth one, so the whole image fits HBM.
         ("persist_tc_full",

@@ -493,3 +493,37 @@ def test_persist_tail_compact_matches_twin():
     scale = max(np.abs(b).max(), 1e-6)
     np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
                                err_msg="direction (tangential)")
+
+
+def test_persist_tail_compact_nonaligned_rows():
+    # Regression: rows // wdiv that is not a whole number of kernel blocks
+    # (here 192 // 2 = 96 rows vs 64-row blocks) used to leave the
+    # remainder rows OUTSIDE the phase-2 grid — unwritten memory fed the
+    # replay and gradients exploded (caught on device at S=12: albedo grad
+    # sum 1.96e5 instead of -0.048). The fix rounds phase-2 rows up to
+    # whole blocks.
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene, W=320, H=180)
+    S3, TC = 3, (6, 2)
+    out = np.asarray(trace_recorded_persist(scene, o, d, tk, DEPTH, 1e-4,
+                                            S3, None, True, False, TC))
+    assert np.isfinite(out).all() and float(np.abs(out).max()) < 10.0
+    assert int(persist_dropped_paths(scene, o, d, tk, DEPTH, 1e-4, S3,
+                                     None, True, False, TC)) == 0
+
+    def loss(sc):
+        return jnp.mean(trace_recorded_persist(
+            sc, o, d, tk, DEPTH, 1e-4, S3, None, True, False, TC) ** 2)
+
+    g = jax.grad(loss, allow_int=True)(scene)
+    g_ad = float(np.asarray(g.albedo)[0, 0])
+    assert abs(g_ad) < 1.0, g_ad  # exploded gradients were ~1e5
+
+    def loss_at(dl):
+        arr = np.asarray(scene.albedo).copy()
+        arr[0, 0] += dl
+        return float(loss(scene._replace(albedo=jnp.asarray(arr))))
+
+    eps = 1e-2
+    g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
