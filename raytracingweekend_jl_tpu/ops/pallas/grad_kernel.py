@@ -143,6 +143,7 @@ def record_shade_step(state: tuple, rec: tuple, t, attrs10_planes,
     [rows, LANES] planes (o3, d3, thr3, rad3, alive); ``rec`` = 21
     [depth, rows, LANES] buffers, updated in place at slice ``bounce``."""
     rows = state[0].shape[0]
+    assert rows % SHADE_ROWS == 0, (rows, SHADE_ROWS)  # grid must cover all rows
     grid = rows // SHADE_ROWS
     hw_prng = u5 is None
 
@@ -464,6 +465,7 @@ def replay_bwd_step(cot: tuple, rec: tuple, grad3: tuple, bounce, seed,
     (o, d, thr) cotangent planes, returns the updated cotangents and 9
     per-ray sphere-attribute cotangent rows."""
     rows = cot[0].shape[0]
+    assert rows % SHADE_ROWS == 0, (rows, SHADE_ROWS)  # grid must cover all rows
     grid = rows // SHADE_ROWS
     hw_prng = u5 is None
 

@@ -242,6 +242,7 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
     rows = state[0].shape[0]
     S = n_strips
     br = _persist_block_rows(S)
+    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
     grid = rows // br
     hw_prng = u5 is None
 
@@ -559,6 +560,7 @@ def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
     rows = cot[0].shape[0]
     S = n_strips
     br = _persist_block_rows(S)
+    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
     grid = rows // br
     hw_prng = u5 is None
 
