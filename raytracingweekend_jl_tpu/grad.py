@@ -198,6 +198,19 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
             target.shape[0] * image_width,
             kwargs.get("max_depth", 16),
             bytes_per_ray_bounce=bprb, soft_cap=soft_cap)
+    if kwargs["recorded"] and "remat_passes" not in kwargs and n_samples > 1:
+        # Reverse-mode keeps every sample pass's path records alive; at
+        # high spp that is n_pass x whole-image records (46 GB at flagship
+        # spp=16 — a compile-time OOM). When the total record footprint
+        # exceeds the HBM budget, checkpoint the pass loop: each pass's
+        # record is recomputed in the backward instead of stored.
+        bpr = (_FUSED_BYTES_PER_RAY_BOUNCE
+               if (kwargs.get("recorded_fused")
+                   or kwargs.get("recorded_persist"))
+               else _RECORD_BYTES_PER_RAY_BOUNCE)
+        total = (target.shape[0] * image_width * n_samples
+                 * bpr * kwargs.get("max_depth", 16))
+        kwargs["remat_passes"] = total > RECORD_HBM_BUDGET
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

@@ -108,7 +108,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     recorded_stage: tuple | None = None,
                     recorded_fused: bool = False,
                     fused_stages: tuple | None = None,
-                    recorded_persist: tuple | None = None) -> jnp.ndarray:
+                    recorded_persist: tuple | None = None,
+                    remat_passes: bool = False) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -284,8 +285,19 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                              remat_policy=remat_policy, tile_skip=tile_skip)
         return accum + radiance.reshape(spp, n_pix, 3).sum(axis=0)
 
+    if remat_passes and n_pass > 1:
+        # Reverse-mode keeps EVERY pass's custom-VJP residuals (the path
+        # records) alive until the backward — at high spp that is
+        # n_pass x whole-image records and OOMs (46 GB at flagship
+        # spp=16). Checkpointing the pass body stores only the radiance
+        # accumulator per pass and RECOMPUTES each pass's record in the
+        # backward: one extra record forward per pass buys O(1) residual
+        # memory in spp.
+        body = jax.checkpoint(pass_body)
+    else:
+        body = pass_body
     return jax.lax.fori_loop(
-        0, n_pass, pass_body, jnp.zeros((n_pix, 3), dtype))
+        0, n_pass, body, jnp.zeros((n_pix, 3), dtype))
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin", "remat",
@@ -293,7 +305,7 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                                    "persistent", "fused_attrs", "remat_policy",
                                    "tile_skip", "recorded", "recorded_stage",
                                    "recorded_fused", "fused_stages",
-                                   "recorded_persist"))
+                                   "recorded_persist", "remat_passes"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -306,13 +318,14 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   recorded_stage: tuple | None = None,
                   recorded_fused: bool = False,
                   fused_stages: tuple | None = None,
-                  recorded_persist: tuple | None = None) -> jnp.ndarray:
+                  recorded_persist: tuple | None = None,
+                  remat_passes: bool = False) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
                           tile_skip, recorded, recorded_stage, recorded_fused,
-                          fused_stages, recorded_persist)
+                          fused_stages, recorded_persist, remat_passes)
     return acc / n_samples
 
 
@@ -330,7 +343,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     recorded_stage: tuple | None = None,
                     recorded_fused: bool = False,
                     fused_stages: tuple | None = None,
-                    recorded_persist: tuple | None = None) -> jnp.ndarray:
+                    recorded_persist: tuple | None = None,
+                    remat_passes: bool = False) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -363,7 +377,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             recorded_stage=recorded_stage,
                             recorded_fused=recorded_fused,
                             fused_stages=fused_stages,
-                            recorded_persist=recorded_persist)
+                            recorded_persist=recorded_persist,
+                            remat_passes=remat_passes)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -385,7 +400,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 recorded_stage=recorded_stage,
                 recorded_fused=recorded_fused,
                 fused_stages=fused_stages,
-                recorded_persist=recorded_persist))
+                recorded_persist=recorded_persist,
+                remat_passes=remat_passes))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

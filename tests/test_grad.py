@@ -284,3 +284,43 @@ def test_render_loss_rejects_forward_only_flags():
         resolve_grad_path({"recorded_persist": True}, 1 << 20, "tpu")
     with pytest.raises(ValueError, match="recorded_persist must be"):
         resolve_grad_path({"recorded_persist": (8,)}, 1 << 20, "tpu")
+
+
+def test_remat_passes_auto_and_fd():
+    # High-spp gradients would keep every pass's path records alive (46 GB
+    # at flagship spp=16); render_loss auto-checkpoints the pass loop when
+    # the total record footprint exceeds the HBM budget, and the
+    # checkpointed program must stay FD-consistent.
+    from raytracingweekend_jl_tpu.grad import render_loss, render_grads
+    from raytracingweekend_jl_tpu.render import render_radiance
+    import raytracingweekend_jl_tpu as rtw
+
+    # Decision: flagship spp=16 on TPU -> remat; spp=1 -> not.
+    import inspect
+    from raytracingweekend_jl_tpu import grad as gradmod
+    kw = {}
+    gradmod.resolve_grad_path(kw, 1920 * 1080, "tpu")
+    total16 = 1920 * 1080 * 16 * gradmod._FUSED_BYTES_PER_RAY_BOUNCE * 16
+    assert total16 > gradmod.RECORD_HBM_BUDGET  # the spp=16 case trips it
+    total1 = 1920 * 1080 * 1 * gradmod._FUSED_BYTES_PER_RAY_BOUNCE * 16
+    assert total1 < gradmod.RECORD_HBM_BUDGET   # spp=1 does not
+
+    # FD consistency of the checkpointed pass loop (persist, spp=4, CPU).
+    scene = rtw.scene_4_spheres()
+    cam = rtw.t_default_cam()
+    target = render_radiance(scene, cam, 48, 4, image_height=27, seed=3)
+    bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
+    kw = dict(recorded_persist=(4, None), remat_passes=True)
+    loss, g = render_grads(bad, cam, target, 48, 4, **kw)
+    g_ad = float(np.asarray(g.albedo)[1, 0])
+
+    def loss_at(dl):
+        arr = np.asarray(bad.albedo).copy()
+        arr[1, 0] += dl
+        l, _ = render_grads(bad._replace(albedo=jnp.asarray(arr)), cam,
+                            target, 48, 4, **kw)
+        return float(l)
+
+    eps = 1e-2
+    g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
