@@ -491,7 +491,7 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
     from ..camera import make_rays
     from .sampling import concentric_disk_map, per_ray_uniforms
     from .pallas.shade_kernel import shade_and_regen, pack_camera_consts
-    from .materials import _onehot_rows_exact
+    from .materials import fetch_attr_planes
     from .. import rng as rngmod
 
     if max_depth <= 0 or n_samples <= 0:
@@ -542,14 +542,14 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
         o = jnp.stack(state[0:3], axis=-1)
         dd = jnp.stack(state[3:6], axis=-1)
         res, _ = intersect(o, dd, scene, tmin)
-        attrs10 = _onehot_rows_exact(res.index, attr_mat, scene.n_spheres)
+        attrs10t = fetch_attr_planes(res.index, attr_mat, scene.n_spheres)
         rng_u9 = None
         if interpret:
             # The hardware PRNG has no CPU lowering; feed threefry uniforms.
             rng_u9 = jax.random.uniform(
                 jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
                 (9, R))
-        state = shade_and_regen(state, res.t, attrs10, u, v, cam_consts,
+        state = shade_and_regen(state, res.t, attrs10t, u, v, cam_consts,
                                 base_seed + it, last_sample, max_depth, tmin,
                                 interpret=interpret, rng_u9=rng_u9)
         return state, it + 1
@@ -667,7 +667,7 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
     from .pallas.shade_kernel import (shade_strided_step, pack_camera_consts,
                                       SHADE_ROWS)
     from .pallas.intersect_kernel import LANES
-    from .materials import _onehot_rows_exact
+    from .materials import fetch_attr_planes
 
     if max_depth <= 0 or n_samples <= 0:
         return jnp.zeros((u.shape[0], 3), u.dtype)
@@ -760,13 +760,13 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
         o = jnp.stack([p.reshape(-1)[:r_lanes] for p in state[0:3]], axis=-1)
         dd = jnp.stack([p.reshape(-1)[:r_lanes] for p in state[3:6]], axis=-1)
         res, _ = intersect(o, dd, scene, tmin)
-        attrs10 = _onehot_rows_exact(res.index, attr_mat, scene.n_spheres)
+        attrs10t = fetch_attr_planes(res.index, attr_mat, scene.n_spheres)
         rng_u9 = None
         if interpret:
             rng_u9 = jax.random.uniform(
                 jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
                 (9, rows, LANES))
-        state = shade_strided_step(state, res.t, attrs10, cam_consts, geom,
+        state = shade_strided_step(state, res.t, attrs10t, cam_consts, geom,
                                    base_seed + it, last_sample, sample_offset,
                                    max_depth, k, interpret=interpret,
                                    rng_u9=rng_u9)

@@ -13,6 +13,7 @@ matching the straight-through approach of differentiable ray tracers
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -116,6 +117,47 @@ def _onehot_rows_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.nda
               == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)).astype(jnp.bfloat16)
     rows3 = jnp.dot(onehot, packed, preferred_element_type=jnp.float32)
     return rows3[:, 0:f] + rows3[:, f:2 * f] + rows3[:, 2 * f:3 * f]
+
+
+def _onehot_cols_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``attr[index].T`` (shape [F, R]) as one small-M bf16 MXU pass.
+
+    Transposed counterpart of :func:`_onehot_rows_exact` for plane-layout
+    consumers (the record/replay kernel drivers): the attribute dim (F ~ 10)
+    rides the MXU's M axis — padded to sublanes, not to a 128-wide N tile —
+    so the matmul does ~4x less array work at identical exactness (still one
+    nonzero partial product per output with f32 accumulation), and each
+    ``[F, R]`` output row slices straight into a ``[rows, LANES]`` plane
+    with no strided column gather. Used (flip-gated) by every plane-layout
+    fetch: the record/replay drivers and the persistent forward loops.
+    """
+    f = attr.shape[1]
+    hi = attr.astype(jnp.bfloat16)
+    rem = attr - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed_t = jnp.concatenate([hi, mid, lo], axis=1).T  # [3F, N] bf16 (tiny)
+    onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                == index[None, :]).astype(jnp.bfloat16)  # [N, R]
+    cols3 = jax.lax.dot_general(packed_t, onehot_t, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return cols3[0:f] + cols3[f:2 * f] + cols3[2 * f:3 * f]
+
+
+def _onehot_flip() -> bool:
+    """Small-M one-hot contractions (the ``_onehot_cols_exact`` fetch and
+    the flipped dattr reduction in grad_kernel) are the default;
+    RTW_ONEHOT_NOFLIP=1 reverts to the N-padded row forms for on-device
+    A/B. Both forms are bit-exact gathers, so outputs are identical."""
+    return os.environ.get("RTW_ONEHOT_NOFLIP") != "1"
+
+
+def fetch_attr_planes(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Winner-attribute fetch in [F, R] plane-major layout (bit-exact
+    gather), flip-gated between the two MXU one-hot forms."""
+    if _onehot_flip():
+        return _onehot_cols_exact(index, attr, n)
+    return _onehot_rows_exact(index, attr, n).T
 
 
 def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,

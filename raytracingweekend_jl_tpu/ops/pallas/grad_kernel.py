@@ -43,6 +43,7 @@ a pure-JAX twin fed the same uniforms, and by finite differences.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -536,7 +537,6 @@ def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
                           interpret):
     from .intersect_kernel import intersect_spheres_pallas
     from ..intersect import intersect_spheres
-    from ..materials import _onehot_rows_exact
 
     R = origin.shape[0]
     rows = -(-R // LANES)
@@ -561,25 +561,27 @@ def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
 
     def body(b, carry):
         state, rec, rec_idx = carry
-        o = jnp.stack([p.reshape(-1)[:R] for p in state[0:3]], axis=-1)
-        d = jnp.stack([p.reshape(-1)[:R] for p in state[3:6]], axis=-1)
         if interpret:
+            o = jnp.stack([p.reshape(-1)[:R] for p in state[0:3]], axis=-1)
+            d = jnp.stack([p.reshape(-1)[:R] for p in state[3:6]], axis=-1)
             res = intersect_spheres(o, d, scene, tmin=tmin)
             hit_t = jnp.where(res.hit, res.t, jnp.float32(BIG))
             idx = res.index
+            t_plane = pad(hit_t)
+            attr_planes = [pad(amat[idx].T[i]) for i in range(10)]
         else:
-            # Occupancy-masked sweep: whole (64,128) blocks of dead lanes
-            # skip the sphere loop entirely. Camera-ray deaths are spatially
-            # correlated (sky/plain-ground rows), so the fixed-depth record
-            # loop stops paying full-width sweeps once a region's paths end.
-            from .intersect_kernel import sweep_masked
-            alive_flat = state[12].reshape(-1)[:R]
-            hit_t, idx = sweep_masked(o, d, alive_flat, scene.center,
-                                      scene.radius, tmin)
-        attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
-            if not interpret else amat[idx]
-        t_plane = pad(hit_t)
-        attr_planes = [pad(attrs10[:, i]) for i in range(10)]
+            # Occupancy-masked sweep over the state planes directly: whole
+            # (64,128) blocks of dead lanes skip the sphere loop entirely.
+            # Camera-ray deaths are spatially correlated (sky/plain-ground
+            # rows), so the fixed-depth record loop stops paying full-width
+            # sweeps once a region's paths end.
+            from .intersect_kernel import sweep_masked_planes
+            t_plane, idx_plane = sweep_masked_planes(
+                state[0:3], state[3:6], state[12], scene.center,
+                scene.radius, tmin)
+            idx = idx_plane.reshape(-1)[:R]
+            attrs10t = _fetch_attr_rows(idx, amat, scene.n_spheres)
+            attr_planes = [pad(attrs10t[i]) for i in range(10)]
         u5 = _u5_for(key, b, rows) if interpret else None
         state, rec = record_shade_step(state, rec, t_plane, attr_planes,
                                        b, seed + b, max_depth,
@@ -627,6 +629,54 @@ def _split3_bf16(rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([hi, mid, lo], axis=1)
 
 
+def _split3_bf16_rows(cols: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3-way bf16 split of an f32 [F, R] matrix, stacked along axis 0
+    (the small-M layout used by the flipped dattr contraction)."""
+    hi = cols.astype(jnp.bfloat16)
+    rem = cols - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
+def _dattr_contract(dattr_flat9, idx, n: int):
+    """Accumulate per-lane attribute cotangents into per-sphere rows:
+    ``out[s, j] = sum_w (idx[w] == s) * dattr_flat9[j][w]`` ([n, 9] f32).
+
+    dattr_flat9: 9 flat [R] f32 arrays (the replay kernel's output planes).
+    Both forms are MXU one-hot contractions with exact bf16-split operands;
+    the flipped default keeps the 27-row attribute dim on the M axis instead
+    of padding it to a 128-wide N tile (~4x less MXU work at record widths).
+    The two forms may differ in f32 accumulation ORDER (many partials per
+    output row), i.e. last-ulp — gradients are FD-validated either way.
+    """
+    from ..materials import _onehot_flip
+    f32 = jnp.float32
+    if _onehot_flip():
+        rows9t = jnp.stack(dattr_flat9, axis=0)          # [9, R]: no transpose
+        rows27t = _split3_bf16_rows(rows9t)              # [27, R] bf16
+        onehot = (idx[:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                  ).astype(jnp.bfloat16)                 # [R, n]
+        c = jax.lax.dot_general(rows27t, onehot, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)  # [27, n]
+        return (c[0:9] + c[9:18] + c[18:27]).T
+    rows9 = jnp.stack(dattr_flat9, axis=-1)              # [R, 9]
+    onehot = (idx[:, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+              ).astype(jnp.bfloat16)
+    rows27 = _split3_bf16(rows9)
+    c = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    return c[:, 0:9] + c[:, 9:18] + c[:, 18:27]
+
+
+def _fetch_attr_rows(idx, amat, n: int):
+    """Winner-attribute fetch in [10, R] plane layout (bit-exact gather)."""
+    from ..materials import fetch_attr_planes
+    return fetch_attr_planes(idx, amat, n)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "R"))
 def _fused_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
                     interpret, R):
@@ -645,14 +695,8 @@ def _fused_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
         u5 = _u5_for(key, b, rows) if interpret else None
         cot, dattr = replay_bwd_step(cot, rec, grad3, b, seed + b,
                                      interpret=interpret, u5=u5)
-        rows9 = jnp.stack([p.reshape(-1)[:R] for p in dattr], axis=-1)
-        onehot = (rec_idx[b][:, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-                  ).astype(jnp.bfloat16)
-        rows27 = _split3_bf16(rows9)
-        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
+        g_attr = g_attr + _dattr_contract(
+            [p.reshape(-1)[:R] for p in dattr], rec_idx[b], n)
         return (cot, g_attr), None
 
     (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),
@@ -734,7 +778,6 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
                                  tmin, interpret, stages):
     from .intersect_kernel import intersect_spheres_pallas
     from ..intersect import intersect_spheres
-    from ..materials import _onehot_rows_exact
 
     R = origin.shape[0]
     plan = _stage_plan(R, max_depth, stages)
@@ -792,12 +835,12 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
                 res = intersect_spheres(o, d, scene, tmin=tmin)
             else:
                 res = intersect_spheres_pallas(o, d, scene, tmin=tmin)
-            attrs10 = _onehot_rows_exact(res.index, amat, scene.n_spheres) \
-                if not interpret else amat[res.index]
+            attrs10t = _fetch_attr_rows(res.index, amat, scene.n_spheres) \
+                if not interpret else amat[res.index].T
             t_plane = jnp.where(res.hit, res.t,
                                 jnp.float32(BIG)).astype(jnp.float32) \
                 .reshape(rows_s, LANES)
-            attr_planes = [attrs10[:, i].astype(jnp.float32)
+            attr_planes = [attrs10t[i].astype(jnp.float32)
                            .reshape(rows_s, LANES) for i in range(10)]
             u5 = _u5_for(key, b, rows_s) if interpret else None
             state, rec = record_shade_step(state, rec, t_plane, attr_planes,
@@ -870,16 +913,8 @@ def _fused_bwd_impl_staged(scene, key, recs, rec_idxs, sels, ids_ps, g_rad,
             u5 = _u5_for(key, b, rows_s) if interpret else None
             cot, dattr = replay_bwd_step(cot, rec, grad3, i, seed + b,
                                          interpret=interpret, u5=u5)
-            rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
-            onehot = (rec_idx[i][:, None]
-                      == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-                      ).astype(jnp.bfloat16)
-            rows27 = _split3_bf16(rows9)
-            contrib = jax.lax.dot_general(onehot, rows27,
-                                          (((0,), (0,)), ((), ())),
-                                          preferred_element_type=f32)
-            g_attr = (g_attr + contrib[:, 0:9] + contrib[:, 9:18]
-                      + contrib[:, 18:27])
+            g_attr = g_attr + _dattr_contract(
+                [p.reshape(-1) for p in dattr], rec_idx[i], n)
             return (cot, g_attr), None
 
         (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),

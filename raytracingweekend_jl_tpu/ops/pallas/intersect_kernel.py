@@ -167,6 +167,44 @@ def sweep_masked(origin, direction, alive, centers, radius, tmin,
 
 
 @partial(jax.jit, static_argnames=("tmin", "interpret"))
+def sweep_masked_planes(o3: tuple, d3: tuple, alive_plane, centers, radius,
+                        tmin, interpret=False):
+    """``sweep_masked`` over pre-padded [rows, LANES] planes — the layout the
+    persistent record loop already carries. Skips the flat round trip
+    (stack to [R,3] then re-plane inside the wrapper), which is pure glue at
+    record widths. Returns ``(t, idx)`` planes of the input shape."""
+    rows = o3[0].shape[0]
+    ck = jnp.sum(centers * centers, axis=-1) - radius * radius
+    n_spheres = centers.shape[0]
+    rows_p = -(-rows // BLOCK_ROWS) * BLOCK_ROWS  # grid must cover all rows
+    grid = rows_p // BLOCK_ROWS
+
+    def padp(p):
+        if rows_p == rows:
+            return p
+        return jnp.concatenate(
+            [p, jnp.zeros((rows_p - rows, LANES), p.dtype)], axis=0)
+
+    ray_planes = [padp(p) for p in (*o3, *d3, alive_plane.astype(jnp.int32))]
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_refs: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[ray_spec] * 7,
+        out_specs=[ray_spec, ray_spec],
+    )
+    t, idx = pl.pallas_call(
+        partial(_sweep_masked_kernel, n_spheres=n_spheres, tmin=tmin),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows_p, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows_p, LANES), jnp.int32)],
+        interpret=interpret,
+    )(centers[:, 0], centers[:, 1], centers[:, 2], ck, *ray_planes)
+    return t[:rows], idx[:rows]
+
+
+@partial(jax.jit, static_argnames=("tmin", "interpret"))
 def _sweep_forward(origin, direction, centers, ck, tmin, interpret=False):
     R = origin.shape[0]
     n_spheres = centers.shape[0]

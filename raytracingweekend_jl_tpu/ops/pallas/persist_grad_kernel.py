@@ -75,7 +75,7 @@ def _persist_block_rows(n_strips: int) -> int:
         return int(env)
     return SHADE_ROWS if n_strips < 16 else 32
 from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
-                          _split3_bf16, _float0_like)
+                          _dattr_contract, _float0_like)
 
 #: flag-plane bit layout (record kernel writes, replay kernel reads)
 _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
@@ -674,9 +674,9 @@ def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
     """Run persistent record iterations [i0, cap_abs) over the given planes
     (any width). Absolute iteration i seeds the PRNG/u5 streams; buffer slot
     is ``i - i0``. Stops at the realized max (all lanes inactive)."""
-    from .intersect_kernel import sweep_masked
+    from .intersect_kernel import sweep_masked_planes
     from ..intersect import intersect_spheres
-    from ..materials import _onehot_rows_exact
+    from .grad_kernel import _fetch_attr_rows
 
     rows = state[0].shape[0]
 
@@ -695,22 +695,26 @@ def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
     else:
         def body(carry):
             state, rad, rec, rec_idx, counts, i = carry
-            o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
-            d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
-            alive = state[11].reshape(-1)
             counts = counts.at[i - i0].set(jnp.sum(state[11]))
             if interpret:
+                o = jnp.stack([p.reshape(-1) for p in state[0:3]], axis=-1)
+                d = jnp.stack([p.reshape(-1) for p in state[3:6]], axis=-1)
+                alive = state[11].reshape(-1)
                 res = intersect_spheres(o, d, scene, tmin=tmin)
                 hit_t = jnp.where(res.hit & (alive != 0), res.t,
                                   jnp.float32(BIG))
                 idx = res.index
+                t_plane = hit_t.reshape(rows, LANES)
+                attrs10t = amat[idx].T
             else:
-                hit_t, idx = sweep_masked(o, d, alive, scene.center,
-                                          scene.radius, tmin)
-            attrs10 = _onehot_rows_exact(idx, amat, scene.n_spheres) \
-                if not interpret else amat[idx]
-            t_plane = hit_t.reshape(rows, LANES)
-            attr_planes = [attrs10[:, j].reshape(rows, LANES)
+                # Plane-native sweep: the state planes feed the kernel
+                # directly (no stack-to-[R,3] round trip per iteration).
+                t_plane, idx_plane = sweep_masked_planes(
+                    state[0:3], state[3:6], state[11], scene.center,
+                    scene.radius, tmin)
+                idx = idx_plane.reshape(-1)
+                attrs10t = _fetch_attr_rows(idx, amat, scene.n_spheres)
+            attr_planes = [attrs10t[j].reshape(rows, LANES)
                            for j in range(10)]
             u5 = _u5_for(key, i, rows) if interpret else None
             state, rad, rec = persist_record_step(
@@ -923,14 +927,8 @@ def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
         cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
                                               slot, seed + i_abs, S,
                                               interpret=interpret, u5=u5)
-        rows9 = jnp.stack([p.reshape(-1) for p in dattr], axis=-1)
-        onehot = (rec_idx[slot][:, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-                  ).astype(jnp.bfloat16)
-        rows27 = _split3_bf16(rows9)
-        contrib = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-        g_attr = g_attr + contrib[:, 0:9] + contrib[:, 9:18] + contrib[:, 18:27]
+        g_attr = g_attr + _dattr_contract(
+            [p.reshape(-1) for p in dattr], rec_idx[slot], n)
         return cot, dep, g_attr
 
     realized = jnp.sum((counts > 0).astype(jnp.int32))

@@ -290,7 +290,7 @@ def _shade_math(cam_ref, lim_val, u9, t, attrs_vals, fu, fv, state_vals,
             active.astype(jnp.int32))
 
 
-def shade_and_regen(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
+def shade_and_regen(state: tuple, t: jnp.ndarray, attrs10t: jnp.ndarray,
                     film_u: jnp.ndarray, film_v: jnp.ndarray,
                     cam_consts: jnp.ndarray, iteration, last_sample,
                     max_depth: int, tmin: float,
@@ -299,7 +299,8 @@ def shade_and_regen(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
     """One fused post-sweep iteration over the persistent state.
 
     ``state`` = 15 [R] planes (ox..oz, dx..dz, thr3, rad3, bounce, sample,
-    active); ``attrs10`` = [R,10] winning-sphere attribute rows;
+    active); ``attrs10t`` = [10,R] winning-sphere attribute rows
+    (plane-major — materials._onehot_cols_exact layout);
     ``cam_consts`` = [21] packed camera scalars + 1/W, 1/H. Returns the
     updated 15 planes.
     """
@@ -318,7 +319,7 @@ def shade_and_regen(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
         rng_specs = [pl.BlockSpec((9, SHADE_ROWS, LANES),
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
-    hit_planes = [pad2(t)] + [pad2(attrs10[:, i]) for i in range(10)]
+    hit_planes = [pad2(t)] + [pad2(attrs10t[i]) for i in range(10)]
     film_planes = [pad2(film_u), pad2(film_v)]
     state_planes = [pad2(s) for s in state]
 
@@ -505,7 +506,7 @@ def _shade_strided_kernel(cam_ref, iter_ref, lim_ref, geom_ref,
         ref[:] = val
 
 
-def shade_strided_step(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
+def shade_strided_step(state: tuple, t: jnp.ndarray, attrs10t: jnp.ndarray,
                        cam_consts: jnp.ndarray, geom: jnp.ndarray,
                        iteration, last_sample, first_sample,
                        max_depth: int, k: int,
@@ -526,7 +527,7 @@ def shade_strided_step(state: tuple, t: jnp.ndarray, attrs10: jnp.ndarray,
                                   memory_space=pltpu.VMEM)]
 
     pad2 = lambda x: _pad_rows(x, rows)
-    hit_planes = [pad2(t)] + [pad2(attrs10[:, i]) for i in range(10)]
+    hit_planes = [pad2(t)] + [pad2(attrs10t[i]) for i in range(10)]
 
     n_state = len(state)
     grid_spec = pltpu.PrefetchScalarGridSpec(

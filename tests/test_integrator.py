@@ -1,6 +1,8 @@
 """Integrator semantics tests — the wavefront loop must reproduce the
 reference's recursive ray_color contract (reference: src/ray_color.jl:14-38)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,6 +147,45 @@ def test_onehot_rows_exact_matches_gather():
     idx = jax.random.randint(jax.random.PRNGKey(0), (4096,), 0, scene.n_spheres)
     rows = _onehot_rows_exact(idx, attr, scene.n_spheres)
     np.testing.assert_array_equal(np.asarray(rows), np.asarray(attr)[np.asarray(idx)])
+
+
+def test_onehot_cols_exact_matches_gather():
+    # The flipped (small-M) one-hot fetch must also equal the gather bitwise.
+    from raytracingweekend_jl_tpu.ops.materials import _onehot_cols_exact
+    from raytracingweekend_jl_tpu import scene_random_spheres
+    scene = scene_random_spheres(seed=1)
+    attr = jnp.concatenate([scene.center, scene.radius[:, None], scene.albedo,
+                            scene.fuzz[:, None], scene.ir[:, None]], axis=1)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (4096,), 0, scene.n_spheres)
+    cols = _onehot_cols_exact(idx, attr, scene.n_spheres)
+    np.testing.assert_array_equal(np.asarray(cols),
+                                  np.asarray(attr)[np.asarray(idx)].T)
+
+
+def test_dattr_contract_flip_matches_row_form():
+    # The flipped dattr reduction differs from the row form only in f32
+    # accumulation order; on a well-scaled cotangent batch the two must agree
+    # to float32 round-off, and the row form must equal a segment-sum oracle.
+    from raytracingweekend_jl_tpu.ops.pallas import grad_kernel as gk
+    n = 488
+    key = jax.random.PRNGKey(3)
+    idx = jax.random.randint(key, (8192,), 0, n)
+    d9 = jax.random.normal(jax.random.PRNGKey(4), (9, 8192), jnp.float32)
+    planes = [d9[j] for j in range(9)]
+    old = os.environ.pop("RTW_ONEHOT_NOFLIP", None)
+    try:
+        flipped = np.asarray(gk._dattr_contract(planes, idx, n))
+        os.environ["RTW_ONEHOT_NOFLIP"] = "1"
+        rowform = np.asarray(gk._dattr_contract(planes, idx, n))
+    finally:
+        if old is None:
+            os.environ.pop("RTW_ONEHOT_NOFLIP", None)
+        else:
+            os.environ["RTW_ONEHOT_NOFLIP"] = old
+    oracle = np.zeros((n, 9), np.float32)
+    np.add.at(oracle, np.asarray(idx), np.asarray(d9).T)
+    np.testing.assert_allclose(rowform, oracle, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(flipped, rowform, rtol=2e-5, atol=2e-5)
 
 
 def test_total_internal_reflection():

@@ -226,3 +226,28 @@ def test_sweep_masked_matches_sweep():
     # Dead block: sentinel misses.
     assert (t[n // 2:] >= 1e30).all()
     assert (idx[n // 2:] == 0).all()
+
+
+def test_sweep_masked_planes_matches_flat():
+    """The plane-native masked sweep must equal the flat wrapper exactly,
+    including when the plane rows are not a whole BLOCK_ROWS multiple
+    (remainder rows must be swept, not silently dropped)."""
+    from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import (
+        sweep_masked, sweep_masked_planes, BLOCK_ROWS, LANES)
+    scene = scene_random_spheres(seed=1)
+    for rows in (2 * BLOCK_ROWS, BLOCK_ROWS + BLOCK_ROWS // 2):
+        n = rows * LANES
+        o, d = random_rays(n, seed=11, box=6.0)
+        alive = jnp.asarray(
+            np.random.default_rng(5).integers(0, 2, n).astype(np.int32))
+        t_flat, i_flat = sweep_masked(o, d, alive, scene.center, scene.radius,
+                                      1e-4, interpret=True)
+        o3 = tuple(o[:, j].reshape(rows, LANES) for j in range(3))
+        d3 = tuple(d[:, j].reshape(rows, LANES) for j in range(3))
+        t_p, i_p = sweep_masked_planes(o3, d3, alive.reshape(rows, LANES),
+                                       scene.center, scene.radius, 1e-4,
+                                       interpret=True)
+        np.testing.assert_array_equal(np.asarray(t_p).reshape(-1),
+                                      np.asarray(t_flat))
+        np.testing.assert_array_equal(np.asarray(i_p).reshape(-1),
+                                      np.asarray(i_flat))
