@@ -151,6 +151,57 @@ def resolve_grad_path(kwargs: dict, n_pix: int, backend: str) -> dict:
     return kwargs
 
 
+def plan_pass_memory(kwargs: dict, n_pix: int, n_samples: int) -> dict:
+    """Decide how the recorded pass loop fits HBM (in place; returns kwargs).
+
+    Reverse-mode keeps every sample pass's path records alive; at high spp
+    that is n_pass x whole-image records (46 GB at flagship spp=16 with the
+    fixed-depth record — a compile-time OOM). Escalation when the total
+    record footprint exceeds the budget, cheapest first:
+
+    1. fits as-is -> ``remat_passes=False`` (store all passes' records);
+    2. persistent path only: drop the recorded attribute planes
+       (``rec_attrs=False`` — replay refetches them from the winner
+       indices, bitwise-equal gradients, record half the size);
+    3. ``remat_passes=True`` — checkpoint the pass loop; every pass's
+       record forward is recomputed in the backward.
+
+    The persistent path is priced with its exact footprint
+    (``persist_record_bytes``); the generic per-ray-per-bounce formulas
+    overestimate it ~15x and previously forced pass remat at spp (4, 8)
+    where the records actually fit.
+    """
+    if not kwargs.get("recorded") or "remat_passes" in kwargs \
+            or n_samples <= 1:
+        return kwargs
+    chunk = kwargs.get("pixel_chunk") or n_pix
+    persist = kwargs.get("recorded_persist")
+    if persist:
+        from .ops.pallas.persist_grad_kernel import persist_record_bytes
+        n_chunks = -(-n_pix // chunk)
+
+        def total_bytes(rec_attrs):
+            # Chunks within a pass coexist in the reverse pass too.
+            return n_samples * n_chunks * persist_record_bytes(
+                min(chunk, n_pix), persist[0], persist[1],
+                persist[2] if len(persist) > 2 else None,
+                kwargs.get("max_depth", 16), rec_attrs)
+
+        total = total_bytes(persist[3] if len(persist) > 3 else True)
+        if total > RECORD_HBM_BUDGET and len(persist) <= 3 \
+                and total_bytes(False) <= RECORD_HBM_BUDGET:
+            kwargs["recorded_persist"] = (
+                tuple(persist) + (None,) * (3 - len(persist)) + (False,))
+            total = total_bytes(False)
+    else:
+        bpr = (_FUSED_BYTES_PER_RAY_BOUNCE
+               if kwargs.get("recorded_fused")
+               else _RECORD_BYTES_PER_RAY_BOUNCE)
+        total = n_pix * n_samples * bpr * kwargs.get("max_depth", 16)
+    kwargs["remat_passes"] = total > RECORD_HBM_BUDGET
+    return kwargs
+
+
 def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
                 image_width: int, n_samples: int,
                 loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
@@ -198,19 +249,7 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
             target.shape[0] * image_width,
             kwargs.get("max_depth", 16),
             bytes_per_ray_bounce=bprb, soft_cap=soft_cap)
-    if kwargs["recorded"] and "remat_passes" not in kwargs and n_samples > 1:
-        # Reverse-mode keeps every sample pass's path records alive; at
-        # high spp that is n_pass x whole-image records (46 GB at flagship
-        # spp=16 — a compile-time OOM). When the total record footprint
-        # exceeds the HBM budget, checkpoint the pass loop: each pass's
-        # record is recomputed in the backward instead of stored.
-        bpr = (_FUSED_BYTES_PER_RAY_BOUNCE
-               if (kwargs.get("recorded_fused")
-                   or kwargs.get("recorded_persist"))
-               else _RECORD_BYTES_PER_RAY_BOUNCE)
-        total = (target.shape[0] * image_width * n_samples
-                 * bpr * kwargs.get("max_depth", 16))
-        kwargs["remat_passes"] = total > RECORD_HBM_BUDGET
+    plan_pass_memory(kwargs, target.shape[0] * image_width, n_samples)
     img = render_radiance(scene, cam, image_width, n_samples,
                           image_height=target.shape[0], **kwargs)
     if loss_fn is None:

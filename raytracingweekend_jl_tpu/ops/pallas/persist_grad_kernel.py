@@ -82,6 +82,40 @@ _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
 _F_STRIP_SHIFT = 4
 
 
+def persist_record_bytes(R: int, n_strips: int, n_iters: int | None = None,
+                         tail_compact: tuple | None = None,
+                         max_depth: int = 16, rec_attrs: bool = True) -> int:
+    """Exact HBM footprint (bytes) of ONE pass's record residuals for
+    :func:`trace_recorded_persist` — 21 f32/int32 record planes plus the
+    winner-index buffer and counts, per phase, at the real padded widths.
+
+    The generic per-ray-per-bounce formulas in grad.py overestimate this
+    path ~15x (they price the worst-case iteration CAP at full width, but
+    phase 1 allocates only ``b1`` slices and the post-boundary tail runs at
+    1/wdiv width), which made the pass-level remat trigger at spp where the
+    records actually fit HBM — recomputing every record forward for
+    nothing. The pass loop's remat decision uses this exact count instead.
+    """
+    S = n_strips
+    if n_iters is None:
+        n_iters = default_n_iters(S, max_depth)
+    rows, W = _strip_geometry(R, S)
+    n_rec = 21 if rec_attrs else 11
+
+    def phase(nslices, rws):
+        # rec planes + rec_idx (int32) per slice, + counts.
+        return nslices * (rws * LANES * (n_rec + 1) * 4 + 4)
+
+    if tail_compact is None:
+        return phase(n_iters, rows)
+    b1 = min(tail_compact[0], n_iters)
+    br2 = _persist_block_rows(S)
+    rows2 = -(-max(rows // tail_compact[1], br2) // br2) * br2
+    # + the boundary gather's sel/valid vectors (2 x W2 int32).
+    return (phase(b1, rows) + phase(n_iters - b1, rows2)
+            + 2 * rows2 * LANES * 4)
+
+
 def default_n_iters(n_strips: int, max_depth: int = 16) -> int:
     """Default iteration CAP: the worst case ``n_strips * max_depth`` — with
     the while-loop record phase the cap costs only record-buffer memory and
@@ -181,7 +215,7 @@ def _advance_record_bank(u5, t, attrs_vals, strip_vals, st_vals,
 
 
 def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
-                           n_strips: int, hw_prng: bool):
+                           n_strips: int, hw_prng: bool, n_rec: int = 21):
     S = n_strips
     if hw_prng:
         u5_ref = None
@@ -192,10 +226,10 @@ def _persist_record_kernel(i_ref, seed_ref, *refs, max_depth: int,
     strip_refs = refs[11:11 + 6 * S]          # o3 then d3, per strip
     st_in = refs[11 + 6 * S:23 + 6 * S]       # 12 planes
     rad_in = refs[23 + 6 * S:23 + 9 * S]      # 3S planes (aliased)
-    out = refs[44 + 9 * S:]                   # skip aliased rec inputs (21)
+    out = refs[23 + 9 * S + n_rec:]           # skip aliased rec inputs
     st_out = out[0:12]
     rad_out = out[12:12 + 3 * S]
-    rec_out = out[12 + 3 * S:33 + 3 * S]      # 21 rec slices
+    rec_out = out[12 + 3 * S:12 + 3 * S + n_rec]  # 21 or 11 rec slices
 
     anyactive = jnp.any(st_in[11][:] != 0)
 
@@ -236,7 +270,8 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
                         interpret: bool = False, u5=None):
     """One persistent record iteration over padded planes. ``state`` = 12
     [rows, LANES] planes (o3, d3, thr3, bounce, strip, active); ``rad`` = 3S
-    strip radiance planes; ``rec`` = 21 [n_iters, rows, LANES] buffers,
+    strip radiance planes; ``rec`` = 21 (or 11 when the driver refetches
+    attrs in replay, ``rec_attrs=False``) [n_iters, rows, LANES] buffers,
     updated in place at slice ``iteration``; ``strip_planes`` = 6S ray
     planes."""
     rows = state[0].shape[0]
@@ -258,7 +293,7 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
-    n_state, n_rad, n_rec = 12, 3 * S, 21
+    n_state, n_rad, n_rec = 12, 3 * S, len(rec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -277,7 +312,7 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
 
     outs = pl.pallas_call(
         partial(_persist_record_kernel, max_depth=max_depth, n_strips=S,
-                hw_prng=hw_prng),
+                hw_prng=hw_prng, n_rec=n_rec),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
@@ -471,13 +506,17 @@ def persist_record_fused_step(state: tuple, rad: tuple, rec: tuple,
 # ---------------------------------------------------------------------------
 
 def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
-                           hw_prng: bool):
+                           hw_prng: bool, rec_attrs: bool = True):
     S = n_strips
     if hw_prng:
         u5_ref = None
     else:
         u5_ref, refs = refs[0], refs[1:]
-    rec = refs[0:21]
+    # rec_attrs=True: 21 per-iteration record slices. rec_attrs=False: 11
+    # record slices + 10 attr planes the driver refetched from the winner
+    # indices (same total, so every later offset is unchanged).
+    rec = refs[0:21] if rec_attrs else refs[0:11]
+    attr_refs = None if rec_attrs else refs[11:21]
     grad_strips = refs[21:21 + 3 * S]
     cot_in = refs[21 + 3 * S:30 + 3 * S]
     dep_in = refs[30 + 3 * S:30 + 9 * S]      # 6S deposit planes (aliased)
@@ -540,8 +579,11 @@ def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
             sel = (sp == c).astype(jnp.float32)
             g3 = [g3[j] + sel * grad_strips[3 * c + j][:] for j in range(3)]
 
-        vals = tuple(r[0] for r in rec[0:10]) \
-            + (tuple(r[0] for r in rec[11:21]),)
+        if rec_attrs:
+            attrs_vals = tuple(r[0] for r in rec[11:21])
+        else:
+            attrs_vals = tuple(a[:] for a in attr_refs)
+        vals = tuple(r[0] for r in rec[0:10]) + (attrs_vals,)
         adv = hit & ~term          # state advanced (hit & continued)
         inject = act & ~hit        # banked T * sky(d) this iteration
         cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
@@ -553,16 +595,20 @@ def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
 
 def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
                         grad_strips: tuple, iteration, seed, n_strips: int,
-                        interpret: bool = False, u5=None):
+                        interpret: bool = False, u5=None, attrs=None):
     """One reverse persistent iteration: consumes the iteration's record
     slice, the carried cotangents, and the strip deposit planes; returns
-    (cot, dep, dattr9)."""
+    (cot, dep, dattr9). ``attrs``: 10 [rows, LANES] winner-attribute planes
+    when the record carries only 11 slices (``rec_attrs=False`` — the
+    driver refetched them from the winner indices)."""
     rows = cot[0].shape[0]
     S = n_strips
     br = _persist_block_rows(S)
     assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
     grid = rows // br
     hw_prng = u5 is None
+    rec_attrs = attrs is None
+    assert len(rec) == (21 if rec_attrs else 11), (len(rec), rec_attrs)
 
     spec = pl.BlockSpec((br, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -576,10 +622,12 @@ def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
+    rec_in_specs = [rec_spec] * 21 if rec_attrs \
+        else [rec_spec] * 11 + [spec] * 10
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=(rng_specs + [rec_spec] * 21
+        in_specs=(rng_specs + rec_in_specs
                   + [spec] * (3 * S + 9 + 6 * S)),
         out_specs=[spec] * (18 + 6 * S),
     )
@@ -590,14 +638,15 @@ def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
     aliases.update({base + 9 + i: 18 + i for i in range(6 * S)})  # deposits
 
     outs = pl.pallas_call(
-        partial(_persist_replay_kernel, n_strips=S, hw_prng=hw_prng),
+        partial(_persist_replay_kernel, n_strips=S, hw_prng=hw_prng,
+                rec_attrs=rec_attrs),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
     )(jnp.asarray(iteration, jnp.int32).reshape(1,),
       jnp.asarray(seed, jnp.int32).reshape(1,),
-      *rng_planes, *rec, *grad_strips, *cot, *dep)
+      *rng_planes, *rec, *(attrs or ()), *grad_strips, *cot, *dep)
     return tuple(outs[:9]), tuple(outs[18:]), tuple(outs[9:18])
 
 
@@ -729,21 +778,26 @@ def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
     return state, rad, rec, rec_idx, counts
 
 
-def _zero_rec(n, rows, fused_step=False):
+def _zero_rec(n, rows, fused_step=False, rec_attrs=True):
     f32 = jnp.float32
-    return tuple([jnp.zeros((n, rows, LANES), f32)] * 10
-                 + [jnp.zeros((n, rows, LANES), jnp.int32)]
-                 + [jnp.zeros((n, rows, LANES), f32)] * 10
-                 + ([jnp.zeros((n, rows, LANES), jnp.int32)]
-                    if fused_step else []))
+    planes = ([jnp.zeros((n, rows, LANES), f32)] * 10
+              + [jnp.zeros((n, rows, LANES), jnp.int32)])
+    if rec_attrs:
+        planes += [jnp.zeros((n, rows, LANES), f32)] * 10
+    if fused_step:
+        planes += [jnp.zeros((n, rows, LANES), jnp.int32)]
+    return tuple(planes)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
                                    "n_iters", "interpret", "fused_step",
-                                   "tail_compact"))
+                                   "tail_compact", "rec_attrs"))
 def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
                             n_strips, n_iters, interpret, fused_step=False,
-                            tail_compact=None):
+                            tail_compact=None, rec_attrs=True):
+    if fused_step and not rec_attrs:
+        raise ValueError("rec_attrs=False requires fused_step=False (the "
+                         "fused record kernel stores attrs in-kernel)")
     R = origin.shape[0]
     S = n_strips
     rows, W = _strip_geometry(R, S)
@@ -794,7 +848,7 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     else:
         b1 = n_iters
 
-    rec1 = _zero_rec(b1, rows, fused_step)
+    rec1 = _zero_rec(b1, rows, fused_step, rec_attrs)
     rec_idx1 = jnp.zeros((b1, W), jnp.int32)
     counts1 = jnp.zeros((b1,), jnp.int32)
     state, rad, rec1, rec_idx1, counts1 = _run_record_phase(
@@ -831,7 +885,7 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     strip_planes2 = tuple(stripsf[j].reshape(rows2, LANES)
                           for j in range(6 * S))
     rad2 = tuple(jnp.zeros((rows2, LANES), f32) for _ in range(3 * S))
-    rec2 = _zero_rec(cap2 - b1, rows2)
+    rec2 = _zero_rec(cap2 - b1, rows2, rec_attrs=rec_attrs)
     rec_idx2 = jnp.zeros((cap2 - b1, W2), jnp.int32)
     counts2 = jnp.zeros((cap2 - b1,), jnp.int32)
     state2, rad2, rec2, rec_idx2, counts2 = _run_record_phase(
@@ -863,30 +917,35 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     return radiance.astype(origin.dtype), res, dropped
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def trace_recorded_persist(scene, origin, direction, key,
                            max_depth: int = 16, tmin: float = 1e-4,
                            n_strips: int = 8, n_iters: int | None = None,
                            interpret: bool = False, fused_step: bool = False,
-                           tail_compact: tuple | None = None):
+                           tail_compact: tuple | None = None,
+                           rec_attrs: bool = True):
     """Differentiable radiance ``[R, 3]`` — persistent-record kernel-pair
     trace. Forward streams (hardware PRNG, strip refill) differ from
     ``trace``; under ``value_and_grad`` the estimator is exact path replay.
     Rays past the iteration budget read black (overflow contract — see the
-    module docstring; use :func:`persist_dropped_paths` to audit)."""
+    module docstring; use :func:`persist_dropped_paths` to audit).
+    ``rec_attrs=False`` halves the record footprint (11 slices instead of
+    21) by refetching the winner attributes in replay from the recorded
+    indices — bitwise the same gradients; slightly more replay compute.
+    The pass loop auto-picks it when it avoids pass-level remat."""
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
                                              max_depth, tmin, n_strips,
                                              n_iters, interpret, fused_step,
-                                             tail_compact)
+                                             tail_compact, rec_attrs)
     return radiance
 
 
 def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
                           tmin=1e-4, n_strips=8, n_iters=None,
                           interpret=False, fused_step=False,
-                          tail_compact=None):
+                          tail_compact=None, rec_attrs=True):
     """Number of rays dropped by the static iteration budget / boundary
     width (0 = exact; the defaults are exact by construction)."""
     if n_iters is None:
@@ -894,18 +953,18 @@ def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
     _, _, dropped = _persist_record_forward(scene, origin, direction, key,
                                             max_depth, tmin, n_strips,
                                             n_iters, interpret, fused_step,
-                                            tail_compact)
+                                            tail_compact, rec_attrs)
     return dropped
 
 
 def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
-                 n_iters, interpret, fused_step, tail_compact):
+                 n_iters, interpret, fused_step, tail_compact, rec_attrs):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
                                                max_depth, tmin, n_strips,
                                                n_iters, interpret, fused_step,
-                                               tail_compact)
+                                               tail_compact, rec_attrs)
     return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
 
 
@@ -914,19 +973,32 @@ def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
     """Reverse-walk one record phase's REALIZED iterations. Buffer slot
     ``slot`` corresponds to absolute iteration ``i0 + slot`` (PRNG/u5
     streams are seeded by the absolute index, exactly as the record
-    phase)."""
+    phase). An 11-slice record (``rec_attrs=False``) carries no attribute
+    planes; they are refetched per iteration from the winner indices — the
+    identical bit-exact gather the record phase used."""
+    from .grad_kernel import _fetch_attr_rows
     rows = rec[0].shape[1]
     n = scene.n_spheres
     f32 = jnp.float32
+    rec_attrs = len(rec) == 21
+    amat = None if rec_attrs else _attr_mat(scene)
 
     def live_step(carry, slot):
         cot, dep, g_attr = carry
         slot = jnp.asarray(slot, jnp.int32)
         i_abs = i0 + slot
         u5 = _u5_for(key, i_abs, rows) if interpret else None
+        if rec_attrs:
+            attrs = None
+        else:
+            idxs = rec_idx[slot]
+            attrs10t = amat[idxs].T if interpret \
+                else _fetch_attr_rows(idxs, amat, n)
+            attrs = [attrs10t[j].reshape(rows, LANES) for j in range(10)]
         cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
                                               slot, seed + i_abs, S,
-                                              interpret=interpret, u5=u5)
+                                              interpret=interpret, u5=u5,
+                                              attrs=attrs)
         g_attr = g_attr + _dattr_contract(
             [p.reshape(-1) for p in dattr], rec_idx[slot], n)
         return cot, dep, g_attr
@@ -1021,7 +1093,7 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
 
 
 def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
-                 tail_compact, residuals, g_rad):
+                 tail_compact, rec_attrs, residuals, g_rad):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     scene, key, res, dtype_token = residuals

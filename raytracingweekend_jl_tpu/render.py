@@ -215,20 +215,26 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 # persist_grad_kernel.py): lanes refill in place over
                 # n_strips rays, per-ITERATION records — ~3x fewer sweeps
                 # than the fixed-depth record at flagship occupancy.
-                # recorded_persist = (n_strips, n_iters|None[, tail_compact])
-                # where tail_compact = (boundary_iter, width_divisor) runs
-                # the post-boundary survivors at 1/divisor width (one
-                # small-output gather). The defaults are exact (zero
-                # dropped paths, persist_dropped_paths audits).
+                # recorded_persist = (n_strips, n_iters|None[, tail_compact
+                # [, rec_attrs]]) where tail_compact = (boundary_iter,
+                # width_divisor) runs the post-boundary survivors at
+                # 1/divisor width (one small-output gather) and
+                # rec_attrs=False halves the record footprint by refetching
+                # winner attributes in replay (same gradients bitwise; the
+                # pass loop auto-picks it over pass-level remat). The
+                # defaults are exact (zero dropped paths,
+                # persist_dropped_paths audits).
                 from .ops.pallas.persist_grad_kernel import (
                     trace_recorded_persist)
                 p_strips, p_iters = recorded_persist[0], recorded_persist[1]
                 p_tc = recorded_persist[2] if len(recorded_persist) > 2 \
                     else None
+                p_rec_attrs = recorded_persist[3] \
+                    if len(recorded_persist) > 3 else True
                 interp = jax.default_backend() == "cpu"
                 radiance = trace_recorded_persist(
                     scene, origin, direction, trace_key, max_depth, tmin,
-                    p_strips, p_iters, interp, False, p_tc)
+                    p_strips, p_iters, interp, False, p_tc, p_rec_attrs)
             elif recorded_fused:
                 # Kernel-pair record/replay path (ops/pallas/grad_kernel.py):
                 # ONE Pallas kernel per bounce on each side. Forward draws

@@ -324,3 +324,30 @@ def test_remat_passes_auto_and_fd():
     eps = 1e-2
     g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
     np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
+
+
+def test_plan_pass_memory_escalation():
+    """Escalation order at flagship geometry: spp<=4 stores all passes'
+    records, spp 8/16 drop the recorded attr planes instead of remating,
+    and only a budget even the lean record exceeds turns pass remat on."""
+    from raytracingweekend_jl_tpu.grad import plan_pass_memory
+    n_pix = 1920 * 1080
+    base = dict(recorded=True, recorded_persist=(8, None, (44, 16)))
+
+    kw = plan_pass_memory(dict(base), n_pix, 4)
+    assert kw["remat_passes"] is False
+    assert len(kw["recorded_persist"]) == 3  # rec_attrs untouched
+
+    kw = plan_pass_memory(dict(base), n_pix, 8)
+    assert kw["remat_passes"] is False
+    assert kw["recorded_persist"][3] is False  # lean record picked
+
+    kw = plan_pass_memory(dict(base), n_pix, 64)
+    assert kw["remat_passes"] is True  # even lean records exceed budget
+
+    # An explicit rec_attrs choice is respected (no auto-override).
+    explicit = dict(recorded=True,
+                    recorded_persist=(8, None, (44, 16), True))
+    kw = plan_pass_memory(dict(explicit), n_pix, 8)
+    assert kw["recorded_persist"][3] is True
+    assert kw["remat_passes"] is True

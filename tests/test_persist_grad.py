@@ -527,3 +527,52 @@ def test_persist_tail_compact_nonaligned_rows():
     eps = 1e-2
     g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
     np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
+
+
+def test_persist_rec_attrs_off_bitwise_equal():
+    """rec_attrs=False (11-slice record, replay refetches winner attributes
+    from the recorded indices) must reproduce the default path's loss AND
+    gradients bitwise — the refetch is the identical gather the record
+    phase used. Covers both the plain and tail-compacted drivers."""
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+
+    for tc in (None, (6, 2)):
+        def loss(sc, rec_attrs, tc=tc):
+            r = trace_recorded_persist(sc, o, d, tk, DEPTH, 1e-4, S, None,
+                                       True, False, tc, rec_attrs)
+            return jnp.mean(r * r)
+
+        l_on, g_on = jax.value_and_grad(
+            lambda sc: loss(sc, True), allow_int=True)(scene)
+        l_off, g_off = jax.value_and_grad(
+            lambda sc: loss(sc, False), allow_int=True)(scene)
+        assert float(l_on) == float(l_off), tc
+        for f in ("center", "radius", "albedo", "fuzz", "ir"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(g_on, f)), np.asarray(getattr(g_off, f)),
+                err_msg=f"{f} tc={tc}")
+
+
+def test_persist_record_bytes_accounting():
+    """The exact footprint helper must price the real buffer shapes: 21 (or
+    11) record planes + the index plane per slice at each phase's padded
+    width."""
+    from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
+        persist_record_bytes, _persist_block_rows)
+    R = 1920 * 1080
+    rows, W = _strip_geometry(R, 8)
+    cap = default_n_iters(8, 16)
+    plain = persist_record_bytes(R, 8, None, None, 16)
+    assert plain == cap * (rows * LANES * 22 * 4 + 4)
+    b1, wdiv = 44, 16
+    br2 = _persist_block_rows(8)
+    rows2 = -(-max(rows // wdiv, br2) // br2) * br2
+    tc = persist_record_bytes(R, 8, None, (b1, wdiv), 16)
+    expected = (b1 * (rows * LANES * 22 * 4 + 4)
+                + (cap - b1) * (rows2 * LANES * 22 * 4 + 4)
+                + 2 * rows2 * LANES * 4)
+    assert tc == expected
+    # Dropping the attr planes halves the dominant term.
+    lean = persist_record_bytes(R, 8, None, (b1, wdiv), 16, rec_attrs=False)
+    assert lean < 0.6 * tc
