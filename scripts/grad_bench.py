@@ -168,6 +168,12 @@ def main() -> None:
         ("persist_tc_full",
          dict(remat=False, recorded=True, pixel_chunk=None,
               recorded_persist=(8, None, (44, 16)))),
+        # Lean 11-slice record (replay refetches winner attrs from the
+        # recorded indices): the spp 8/16 memory mode — measure its 1spp
+        # cost vs the 21-slice default.
+        ("persist_lean_auto",
+         dict(remat=False, recorded=True, pixel_chunk=None,
+              recorded_persist=(8, None, (44, 16), False))),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),
