@@ -95,6 +95,17 @@ def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
             rows[:, 9].astype(jnp.int32))
 
 
+def _bf16_split3(x: jnp.ndarray):
+    """Exact 3-way bf16 decomposition: hi + mid + lo == x bitwise for f32
+    (3x8 mantissa bits >= f32's 24). THE shared primitive behind every
+    exact one-hot MXU form — change precision here, nowhere else."""
+    hi = x.astype(jnp.bfloat16)
+    rem = x - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _onehot_rows_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.ndarray:
     """``attr[index]`` as a single bf16 MXU pass, bit-exact for float32 attrs.
 
@@ -108,11 +119,7 @@ def _onehot_rows_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.nda
     which dominated the shading stage at flagship wavefront sizes.
     """
     f = attr.shape[1]
-    hi = attr.astype(jnp.bfloat16)
-    rem = attr - hi.astype(jnp.float32)
-    mid = rem.astype(jnp.bfloat16)
-    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    packed = jnp.concatenate([hi, mid, lo], axis=1)  # [N, 3F] bf16
+    packed = jnp.concatenate(_bf16_split3(attr), axis=1)  # [N, 3F] bf16
     onehot = (index[:, None]
               == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)).astype(jnp.bfloat16)
     rows3 = jnp.dot(onehot, packed, preferred_element_type=jnp.float32)
@@ -132,11 +139,7 @@ def _onehot_cols_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.nda
     fetch: the record/replay drivers and the persistent forward loops.
     """
     f = attr.shape[1]
-    hi = attr.astype(jnp.bfloat16)
-    rem = attr - hi.astype(jnp.float32)
-    mid = rem.astype(jnp.bfloat16)
-    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    packed_t = jnp.concatenate([hi, mid, lo], axis=1).T  # [3F, N] bf16 (tiny)
+    packed_t = jnp.concatenate(_bf16_split3(attr), axis=1).T  # [3F, N] (tiny)
     onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
                 == index[None, :]).astype(jnp.bfloat16)  # [N, R]
     cols3 = jax.lax.dot_general(packed_t, onehot_t, (((1,), (0,)), ((), ())),
@@ -148,7 +151,12 @@ def _onehot_flip() -> bool:
     """Small-M one-hot contractions (the ``_onehot_cols_exact`` fetch and
     the flipped dattr reduction in grad_kernel) are the default;
     RTW_ONEHOT_NOFLIP=1 reverts to the N-padded row forms for on-device
-    A/B. Both forms are bit-exact gathers, so outputs are identical."""
+    A/B. Both forms are bit-exact gathers, so outputs are identical.
+
+    Read at TRACE time inside jitted programs — the flag is not part of
+    the jit cache key, so toggling it mid-process silently has no effect
+    on already-compiled steps. A/B runs must use fresh processes (as
+    scripts/round3b_device_session.sh does)."""
     return os.environ.get("RTW_ONEHOT_NOFLIP") != "1"
 
 

@@ -537,6 +537,7 @@ def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
                           interpret):
     from .intersect_kernel import intersect_spheres_pallas
     from ..intersect import intersect_spheres
+    from ..materials import fetch_attr_planes
 
     R = origin.shape[0]
     rows = -(-R // LANES)
@@ -580,7 +581,7 @@ def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
                 state[0:3], state[3:6], state[12], scene.center,
                 scene.radius, tmin)
             idx = idx_plane.reshape(-1)[:R]
-            attrs10t = _fetch_attr_rows(idx, amat, scene.n_spheres)
+            attrs10t = fetch_attr_planes(idx, amat, scene.n_spheres)
             attr_planes = [pad(attrs10t[i]) for i in range(10)]
         u5 = _u5_for(key, b, rows) if interpret else None
         state, rec = record_shade_step(state, rec, t_plane, attr_planes,
@@ -622,21 +623,15 @@ def _float0_like(x):
 def _split3_bf16(rows: jnp.ndarray) -> jnp.ndarray:
     """Exact 3-way bf16 split of an f32 matrix, packed side by side — the
     transpose counterpart of materials._onehot_rows_exact."""
-    hi = rows.astype(jnp.bfloat16)
-    rem = rows - hi.astype(jnp.float32)
-    mid = rem.astype(jnp.bfloat16)
-    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=1)
+    from ..materials import _bf16_split3
+    return jnp.concatenate(_bf16_split3(rows), axis=1)
 
 
 def _split3_bf16_rows(cols: jnp.ndarray) -> jnp.ndarray:
     """Exact 3-way bf16 split of an f32 [F, R] matrix, stacked along axis 0
     (the small-M layout used by the flipped dattr contraction)."""
-    hi = cols.astype(jnp.bfloat16)
-    rem = cols - hi.astype(jnp.float32)
-    mid = rem.astype(jnp.bfloat16)
-    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
+    from ..materials import _bf16_split3
+    return jnp.concatenate(_bf16_split3(cols), axis=0)
 
 
 def _dattr_contract(dattr_flat9, idx, n: int):
@@ -669,12 +664,6 @@ def _dattr_contract(dattr_flat9, idx, n: int):
     c = jax.lax.dot_general(onehot, rows27, (((0,), (0,)), ((), ())),
                             preferred_element_type=f32)
     return c[:, 0:9] + c[:, 9:18] + c[:, 18:27]
-
-
-def _fetch_attr_rows(idx, amat, n: int):
-    """Winner-attribute fetch in [10, R] plane layout (bit-exact gather)."""
-    from ..materials import fetch_attr_planes
-    return fetch_attr_planes(idx, amat, n)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "R"))
@@ -778,6 +767,7 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
                                  tmin, interpret, stages):
     from .intersect_kernel import intersect_spheres_pallas
     from ..intersect import intersect_spheres
+    from ..materials import fetch_attr_planes
 
     R = origin.shape[0]
     plan = _stage_plan(R, max_depth, stages)
@@ -835,7 +825,7 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
                 res = intersect_spheres(o, d, scene, tmin=tmin)
             else:
                 res = intersect_spheres_pallas(o, d, scene, tmin=tmin)
-            attrs10t = _fetch_attr_rows(res.index, amat, scene.n_spheres) \
+            attrs10t = fetch_attr_planes(res.index, amat, scene.n_spheres) \
                 if not interpret else amat[res.index].T
             t_plane = jnp.where(res.hit, res.t,
                                 jnp.float32(BIG)).astype(jnp.float32) \

@@ -725,7 +725,7 @@ def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
     is ``i - i0``. Stops at the realized max (all lanes inactive)."""
     from .intersect_kernel import sweep_masked_planes
     from ..intersect import intersect_spheres
-    from .grad_kernel import _fetch_attr_rows
+    from ..materials import fetch_attr_planes
 
     rows = state[0].shape[0]
 
@@ -762,7 +762,7 @@ def _run_record_phase(scene, amat, key, seed, strip_planes, state, rad,
                     state[0:3], state[3:6], state[11], scene.center,
                     scene.radius, tmin)
                 idx = idx_plane.reshape(-1)
-                attrs10t = _fetch_attr_rows(idx, amat, scene.n_spheres)
+                attrs10t = fetch_attr_planes(idx, amat, scene.n_spheres)
             attr_planes = [attrs10t[j].reshape(rows, LANES)
                            for j in range(10)]
             u5 = _u5_for(key, i, rows) if interpret else None
@@ -976,7 +976,7 @@ def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
     phase). An 11-slice record (``rec_attrs=False``) carries no attribute
     planes; they are refetched per iteration from the winner indices — the
     identical bit-exact gather the record phase used."""
-    from .grad_kernel import _fetch_attr_rows
+    from ..materials import fetch_attr_planes
     rows = rec[0].shape[1]
     n = scene.n_spheres
     f32 = jnp.float32
@@ -993,7 +993,7 @@ def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
         else:
             idxs = rec_idx[slot]
             attrs10t = amat[idxs].T if interpret \
-                else _fetch_attr_rows(idxs, amat, n)
+                else fetch_attr_planes(idxs, amat, n)
             attrs = [attrs10t[j].reshape(rows, LANES) for j in range(10)]
         cot, dep, dattr = persist_replay_step(cot, dep, rec, grad_strips,
                                               slot, seed + i_abs, S,

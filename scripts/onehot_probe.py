@@ -138,6 +138,8 @@ def main():
     s_min, _ = timeit(seg, idx, rows9)
     print(f"segment_sum 1 iter: min {s_min*1e3:.3f} ms")
 
+    hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "bench_history.jsonl")
     append_history({
         "label": "grad_step_decomposition_probe_r3b",
         "record_forward_ms": rec_fwd * 1e3,
@@ -150,7 +152,7 @@ def main():
         "segment_sum_iter_ms": s_min * 1e3,
         "width": int(Wlanes),
         "device": str(dev),
-    })
+    }, hist)
 
 
 if __name__ == "__main__":

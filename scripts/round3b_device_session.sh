@@ -8,8 +8,9 @@ LOG=${LOG:-bench_r3b_device.log}
 
 run() {
   echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"
-  timeout 2400 env "$@" 2>&1 | tail -8 | tee -a "$LOG"
-  echo "--- rc=$?" | tee -a "$LOG"
+  timeout 2400 env "$@" 2>&1 | tail -20 | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "--- rc=$rc" | tee -a "$LOG"
 }
 
 # 1. Step decomposition + one-hot micro A/B (row vs flipped forms).
