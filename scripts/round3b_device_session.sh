@@ -35,4 +35,8 @@ run python scripts/grad_bench.py --config default_auto --spp 16
 # 8. Driver metric line (forward + grad headline from history).
 run python bench.py
 
+# 9. On-device validation sweep (goldens, both paths, FD, f64 anchor) —
+#    confirms the one-hot flip and lean-record changes on the chip.
+run python scripts/tpu_validate.py
+
 echo "=== session done $(date)" | tee -a "$LOG"
