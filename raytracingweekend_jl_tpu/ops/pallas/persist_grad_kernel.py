@@ -593,6 +593,176 @@ def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
             ref[:] = val
 
 
+# ---------------------------------------------------------------------------
+# Fused replay kernel: the whole reverse walk as ONE pallas_call
+# ---------------------------------------------------------------------------
+# The per-iteration replay above re-launches a kernel per slot and round-trips
+# every carried plane (9 cotangents + 6S deposits, in AND out) plus the 3S
+# radiance-gradient strips through HBM on every slot — ~130 MB of traffic per
+# iteration whose contents barely change, dominated by per-launch XLA glue.
+# Replay consumes only the records (no sweep), so unlike the record phase the
+# whole reverse walk fuses into one kernel: grid (block, slot) with the slot
+# axis innermost walks each block's slots newest-to-oldest while the carried
+# cotangent/deposit planes and the grad strips stay RESIDENT in VMEM
+# (iteration-independent index maps); only the record slices stream (double-
+# buffered DMA overlapping the adjoint math) and the dattr planes stream out
+# for one flattened exact contraction afterwards. Slack slots past the
+# realized count have all-zero flags and skip. Numerics: per-lane cotangent
+# chains are the identical op sequence (bitwise ray gradients); the single
+# flattened dattr contraction differs from the per-slot sum only in f32
+# accumulation ORDER (last-ulp; disclaimed in _dattr_contract).
+
+def _persist_replay_fused_kernel(i0_ref, seed_ref, *refs, n_strips: int,
+                                 n_slots: int, hw_prng: bool):
+    S = n_strips
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    rec = refs[0:21]
+    grad_strips = refs[21:21 + 3 * S]
+    cot_in = refs[21 + 3 * S:30 + 3 * S]
+    dep_in = refs[30 + 3 * S:30 + 9 * S]
+    out = refs[30 + 9 * S:]
+    cot_out = out[0:9]
+    dep_out = out[9:9 + 6 * S]
+    dattr_out = out[9 + 6 * S:18 + 6 * S]
+
+    blk = pl.program_id(0)
+    it = pl.program_id(1)
+    slot = jnp.int32(n_slots - 1) - it
+
+    # First slot visited for this block: seed the resident carry windows
+    # (output blocks are write-only until written — there is no HBM load).
+    @pl.when(it == 0)
+    def _init_carry():
+        for ref, src in zip(cot_out, cot_in):
+            ref[:] = src[:]
+        for ref, src in zip(dep_out, dep_in):
+            ref[:] = src[:]
+
+    flags = rec[10][0]
+    anyactive = jnp.any((flags & _F_ACT) != 0)
+
+    @pl.when(jnp.logical_not(anyactive))
+    def _skip():
+        # Carries are resident — untouched is the passthrough. The streamed
+        # dattr slot must still be written.
+        z = jnp.zeros(flags.shape, jnp.float32)
+        for ref in dattr_out:
+            ref[0] = z
+
+    @pl.when(anyactive)
+    def _adjoint():
+        if hw_prng:
+            # Reproduce the record phase's per-(iteration, block) stream:
+            # its per-call scalar was ``seed + i_abs`` and _seed_prng adds
+            # ``program_id(0) * stride`` with program_id(0) = the block.
+            pltpu.prng_seed(seed_ref[0] + i0_ref[0] + slot
+                            + blk * jnp.int32(_BLOCK_SEED_STRIDE))
+            u5 = _uniforms(flags.shape, 5)
+        else:
+            u5 = u5_ref[0]
+
+        act = (flags & _F_ACT) != 0
+        hit = (flags & _F_HIT) != 0
+        term = (flags & _F_TERM) != 0
+        regen = (flags & _F_REGEN) != 0
+        sp = flags >> _F_STRIP_SHIFT
+
+        cots = tuple(c[:] for c in cot_out)
+
+        # Deposit the carried (o, d) cotangent into the strip the regen
+        # started (read-modify-write on the resident deposit windows;
+        # strip 0 is deposited from the final carry by the driver).
+        for c in range(1, S):
+            sel = regen & (sp + 1 == c)
+            sf = sel.astype(jnp.float32)
+            nsf = 1.0 - sf
+            for j in range(6):
+                dep_out[6 * c + j][:] = (sf * cots[j]
+                                         + nsf * dep_out[6 * c + j][:])
+
+        # Cut the chain where the forward did.
+        czero = term | ~act
+        cots = tuple(jnp.where(czero, 0.0, c) for c in cots)
+
+        # Strip-select this lane's radiance gradient.
+        g3 = [jnp.zeros(flags.shape, jnp.float32)] * 3
+        for c in range(S):
+            self_ = (sp == c).astype(jnp.float32)
+            g3 = [g3[j] + self_ * grad_strips[3 * c + j][:] for j in range(3)]
+
+        attrs_vals = tuple(r[0] for r in rec[11:21])
+        vals = tuple(r[0] for r in rec[0:10]) + (attrs_vals,)
+        adv = hit & ~term
+        inject = act & ~hit
+        cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
+        for ref, val in zip(cot_out, cot9):
+            ref[:] = val
+        for ref, val in zip(dattr_out, dattr9):
+            ref[0] = val
+
+
+def persist_replay_fused(cot: tuple, dep: tuple, rec: tuple,
+                         grad_strips: tuple, i0, seed, n_strips: int,
+                         interpret: bool = False, u5_all=None):
+    """The ENTIRE reverse walk of one record phase as one pallas_call.
+
+    ``rec`` must be the 21-slice record (``rec_attrs=True``); ``i0`` is the
+    phase's absolute base iteration (PRNG streams are seeded by the absolute
+    index, exactly as the record phase). Returns ``(cot, dep, dattr_all)``
+    where ``dattr_all`` is 9 ``[n_slots, rows, LANES]`` planes (slot-aligned
+    with ``rec``/``rec_idx``; slack slots are zero) for one flattened
+    :func:`grad_kernel._dattr_contract`. ``u5_all``: interpret-mode uniforms
+    ``[n_slots, 5, rows, LANES]`` (slot-indexed, absolute-iteration streams).
+    """
+    assert len(rec) == 21, (len(rec), "fused replay needs the full record")
+    rows = cot[0].shape[0]
+    S = n_strips
+    br = _persist_block_rows(S)
+    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    n_blocks = rows // br
+    n_slots = rec[0].shape[0]
+    hw_prng = u5_all is None
+
+    res_spec = pl.BlockSpec((br, LANES), lambda b, it, *_: (b, 0),
+                            memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, br, LANES),
+                            lambda b, it, *_: (n_slots - 1 - it, b, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5_all]
+        rng_specs = [pl.BlockSpec(
+            (1, 5, br, LANES),
+            lambda b, it, *_: (n_slots - 1 - it, 0, b, 0),
+            memory_space=pltpu.VMEM)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks, n_slots),
+        in_specs=(rng_specs + [rec_spec] * 21
+                  + [res_spec] * (3 * S + 9 + 6 * S)),
+        out_specs=[res_spec] * (9 + 6 * S) + [rec_spec] * 9,
+    )
+    f32 = jnp.float32
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), f32)] * (9 + 6 * S)
+                  + [jax.ShapeDtypeStruct((n_slots, rows, LANES), f32)] * 9)
+
+    outs = pl.pallas_call(
+        partial(_persist_replay_fused_kernel, n_strips=S, n_slots=n_slots,
+                hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.asarray(i0, jnp.int32).reshape(1,),
+      jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, *rec, *grad_strips, *cot, *dep)
+    return (tuple(outs[:9]), tuple(outs[9:9 + 6 * S]),
+            tuple(outs[9 + 6 * S:]))
+
+
 def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
                         grad_strips: tuple, iteration, seed, n_strips: int,
                         interpret: bool = False, u5=None, attrs=None):
@@ -1017,12 +1187,45 @@ def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
     return cot, dep, g_attr
 
 
+def _run_replay_phase_fused(scene, key, seed, rec, rec_idx, counts,
+                            grad_strips, cot, dep, g_attr, i0, S, interpret):
+    """Fused-replay variant of :func:`_run_replay_phase`: ONE pallas_call
+    walks every slot of the phase in reverse (slack slots past the realized
+    count carry zero flags and skip in-kernel), then ONE flattened exact
+    contraction accumulates the per-sphere attribute cotangents. Requires
+    the 21-slice record (``rec_attrs=True``)."""
+    del counts  # the in-kernel flag skip subsumes the realized count
+    n_slots, rows = rec[0].shape[0], rec[0].shape[1]
+    if n_slots == 0:
+        return cot, dep, g_attr
+    if interpret:
+        u5_all = jnp.stack([_u5_for(key, i0 + s, rows)
+                            for s in range(n_slots)])
+    else:
+        u5_all = None
+    cot, dep, dattr_all = persist_replay_fused(
+        cot, dep, rec, grad_strips, i0, seed, S, interpret=interpret,
+        u5_all=u5_all)
+    g_attr = g_attr + _dattr_contract(
+        [p.reshape(-1) for p in dattr_all], rec_idx.reshape(-1),
+        scene.n_spheres)
+    return cot, dep, g_attr
+
+
+def _replay_fused_default() -> bool:
+    """Fused whole-phase replay on/off (read at trace time). Opt-in via
+    RTW_REPLAY_FUSED=1 until measured on the device; requires
+    ``rec_attrs=True`` (the 21-slice record) — lean records fall back to
+    the per-iteration loop."""
+    return os.environ.get("RTW_REPLAY_FUSED", "0") == "1"
+
+
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",
                                    "n_iters", "interpret", "R",
-                                   "tail_compact"))
+                                   "tail_compact", "replay_fused"))
 def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
                       tmin, n_strips, n_iters, interpret, R,
-                      tail_compact=None):
+                      tail_compact=None, replay_fused=False):
     S = n_strips
     n = scene.n_spheres
     f32 = jnp.float32
@@ -1056,6 +1259,11 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
     dep = tuple(jnp.zeros((rows, LANES), f32) for _ in range(6 * S))
     g_attr = jnp.zeros((n, 9), f32)
 
+    # Whole-phase fused replay (one pallas_call per phase) when enabled;
+    # the lean 11-slice record keeps the per-iteration loop.
+    run_phase = (_run_replay_phase_fused
+                 if replay_fused and len(rec) == 21 else _run_replay_phase)
+
     if tail_compact is not None:
         # Phase-2 replay in the compacted space, then transpose the
         # boundary gather: scatter-add the carried cotangents and strip
@@ -1066,7 +1274,7 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
         z2 = jnp.zeros((rows2, LANES), f32)
         cot2 = (z2,) * 9
         dep2 = tuple(jnp.zeros((rows2, LANES), f32) for _ in range(6 * S))
-        cot2, dep2, g_attr = _run_replay_phase(
+        cot2, dep2, g_attr = run_phase(
             scene, key, seed, rec2, rec_idx2, counts2, grad_strips2,
             cot2, dep2, g_attr, b1, S, interpret)
         v2f = valid2.astype(f32)
@@ -1079,7 +1287,7 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
                     .reshape(rows, LANES)
                     for d, d2 in zip(dep, dep2))
 
-    cot, dep, g_attr = _run_replay_phase(
+    cot, dep, g_attr = run_phase(
         scene, key, seed, rec, rec_idx, counts, grad_strips,
         cot, dep, g_attr, 0, S, interpret)
 
@@ -1102,7 +1310,8 @@ def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
                                              g_rad.astype(jnp.float32),
                                              max_depth, tmin, n_strips,
                                              n_iters, interpret, R=R,
-                                             tail_compact=tail_compact)
+                                             tail_compact=tail_compact,
+                                             replay_fused=_replay_fused_default())
     g_scene = scene._replace(
         center=g_attr[:, 0:3].astype(scene.center.dtype),
         radius=g_attr[:, 3].astype(scene.radius.dtype),

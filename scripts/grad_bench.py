@@ -174,6 +174,14 @@ def main() -> None:
         ("persist_lean_auto",
          dict(remat=False, recorded=True, pixel_chunk=None,
               recorded_persist=(8, None, (44, 16), False))),
+        # Fused whole-phase replay: ONE pallas_call walks each record
+        # phase in reverse (carries resident in VMEM, record slices
+        # streamed) + one flattened dattr contraction, replacing ~74
+        # per-iteration replay launches.
+        ("persist_rfused_auto",
+         dict(remat=False, recorded=True, pixel_chunk=None,
+              recorded_persist=(8, None, (44, 16)),
+              _env={"RTW_REPLAY_FUSED": "1"})),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),
@@ -193,6 +201,8 @@ def main() -> None:
 
     for name, kw in configs:
         remat = kw.pop("remat")
+        for k, v in kw.pop("_env", {}).items():
+            os.environ[k] = v  # read at trace time (fresh-process configs)
         try:
             # One jitted program per step (value_and_grad over ALL chunks +
             # loss glue): on the axon tunnel each separate dispatch costs

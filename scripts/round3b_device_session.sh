@@ -32,6 +32,12 @@ run python scripts/grad_bench.py --config default_auto --spp 4
 run python scripts/grad_bench.py --config default_auto --spp 8
 run python scripts/grad_bench.py --config default_auto --spp 16
 
+# 7b. Fused whole-phase replay (one pallas_call per record phase) vs the
+#     per-iteration loop — the round-3c lever; distinct label so a slower
+#     result cannot displace the default_auto headline.
+run python scripts/grad_bench.py --config persist_rfused_auto
+run python scripts/grad_bench.py --config persist_rfused_auto --spp 4
+
 # 8. Driver metric line (forward + grad headline from history).
 run python bench.py
 

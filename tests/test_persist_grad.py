@@ -554,6 +554,68 @@ def test_persist_rec_attrs_off_bitwise_equal():
                 err_msg=f"{f} tc={tc}")
 
 
+def test_persist_replay_fused_matches_loop(monkeypatch):
+    """RTW_REPLAY_FUSED=1 (whole-phase fused replay: one pallas_call per
+    phase, slot axis in-grid, carries resident) must reproduce the
+    per-iteration loop replay: identical loss (same forward), BITWISE ray
+    gradients (identical per-lane op sequence), and scene gradients equal
+    up to f32 accumulation order in the flattened dattr contraction.
+    Covers plain, tail-compacted, and multi-strip drivers."""
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    g_out = jax.random.normal(jax.random.PRNGKey(3), (o.shape[0], 3),
+                              jnp.float32)
+
+    for n_strips, tc in ((S, None), (S, (6, 2)), (2, (5, 2))):
+        def loss(sc, oo, dd, tc=tc, n_strips=n_strips):
+            r = trace_recorded_persist(sc, oo, dd, tk, DEPTH, 1e-4,
+                                       n_strips, None, True, False, tc)
+            return jnp.vdot(r, g_out)
+
+        grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                     allow_int=True)
+        monkeypatch.delenv("RTW_REPLAY_FUSED", raising=False)
+        l_loop, (gs_l, go_l, gd_l) = grad_fn(scene, o, d)
+        monkeypatch.setenv("RTW_REPLAY_FUSED", "1")
+        l_fused, (gs_f, go_f, gd_f) = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), allow_int=True)(scene, o, d)
+
+        assert float(l_loop) == float(l_fused), (n_strips, tc)
+        np.testing.assert_array_equal(np.asarray(go_l), np.asarray(go_f),
+                                      err_msg=f"origin tc={tc}")
+        np.testing.assert_array_equal(np.asarray(gd_l), np.asarray(gd_f),
+                                      err_msg=f"direction tc={tc}")
+        for f in ("center", "radius", "albedo", "fuzz", "ir"):
+            a, b = np.asarray(getattr(gs_l, f)), np.asarray(getattr(gs_f, f))
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(
+                b, a, atol=1e-6 + 1e-5 * scale,
+                err_msg=f"{f} n_strips={n_strips} tc={tc}")
+
+
+def test_persist_replay_fused_lean_falls_back(monkeypatch):
+    """rec_attrs=False has no 21-slice record; the fused switch must fall
+    back to the loop replay and stay bitwise-equal to the default."""
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+
+    def loss(sc, rec_attrs):
+        r = trace_recorded_persist(sc, o, d, tk, DEPTH, 1e-4, S, None,
+                                   True, False, (6, 2), rec_attrs)
+        return jnp.mean(r * r)
+
+    monkeypatch.setenv("RTW_REPLAY_FUSED", "1")
+    l_on, g_on = jax.value_and_grad(
+        lambda sc: loss(sc, True), allow_int=True)(scene)
+    l_off, g_off = jax.value_and_grad(
+        lambda sc: loss(sc, False), allow_int=True)(scene)
+    assert float(l_on) == float(l_off)
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a, b = np.asarray(getattr(g_on, f)), np.asarray(getattr(g_off, f))
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=1e-6 + 1e-5 * scale, err_msg=f)
+
+
 def test_persist_record_bytes_accounting():
     """The exact footprint helper must price the real buffer shapes: 21 (or
     11) record planes + the index plane per slice at each phase's padded
