@@ -720,7 +720,11 @@ def persist_replay_fused(cot: tuple, dep: tuple, rec: tuple,
     assert len(rec) == 21, (len(rec), "fused replay needs the full record")
     rows = cot[0].shape[0]
     S = n_strips
-    br = _persist_block_rows(S)
+    # Own block-rows override (RTW_RFUSED_BLOCK_ROWS): the fused grid holds
+    # ~2x the record kernel's resident planes, so a VMEM-bound compile can
+    # be retried at 32 rows without touching the record phase's tuning.
+    br = (int(os.environ.get("RTW_RFUSED_BLOCK_ROWS", "0"))
+          or _persist_block_rows(S))
     assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
     n_blocks = rows // br
     n_slots = rec[0].shape[0]

@@ -98,6 +98,47 @@ def main() -> None:
     print(json.dumps({"check": "grad/albedo_fd", "ad": g_ad, "fd": g_fd,
                       "rel_err": round(rel, 4), "pass": bool(grad_ok)}), flush=True)
 
+    # Fused whole-phase replay on the chip: loss bitwise vs the loop replay,
+    # ray gradients bitwise, scene gradients equal up to f32 accumulation
+    # order in the flattened contraction (the CPU interpret suite proves the
+    # same contract; this run proves the Mosaic 2D-grid compile + resident
+    # carry windows on real hardware).
+    import os
+    from raytracingweekend_jl_tpu.camera import get_rays
+    from raytracingweekend_jl_tpu.render import pixel_coords
+    from raytracingweekend_jl_tpu import rng as rngmod
+    from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
+        trace_recorded_persist)
+    u, v = pixel_coords(96, 54)
+    key = jax.random.PRNGKey(11)
+    o, d = get_rays(cam, u, v, rngmod.purpose_key(key, rngmod.LENS))
+    tk = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
+
+    def ploss(sc, oo, dd):
+        r = trace_recorded_persist(sc, oo, dd, tk, 16, 1e-4, 8, None,
+                                   False, False, (20, 4))
+        return jnp.mean(r * r)
+
+    res = {}
+    for tag, env in (("loop", "0"), ("fused", "1")):
+        os.environ["RTW_REPLAY_FUSED"] = env
+        l, (gs, go) = jax.value_and_grad(ploss, argnums=(0, 1),
+                                         allow_int=True)(scene, o, d)
+        res[tag] = (float(l), np.asarray(go), np.asarray(gs.albedo))
+    os.environ.pop("RTW_REPLAY_FUSED", None)
+    ray_bitwise = bool((res["loop"][1] == res["fused"][1]).all())
+    alb_scale = max(np.abs(res["loop"][2]).max(), 1e-6)
+    alb_close = bool(np.allclose(res["fused"][2], res["loop"][2],
+                                 atol=1e-6 + 1e-5 * alb_scale))
+    rf_ok = (res["loop"][0] == res["fused"][0]) and ray_bitwise and alb_close
+    ok &= rf_ok
+    print(json.dumps({"check": "persist_replay_fused_vs_loop",
+                      "loss_loop": res["loop"][0],
+                      "loss_fused": res["fused"][0],
+                      "ray_grads_bitwise": ray_bitwise,
+                      "albedo_allclose": alb_close,
+                      "pass": bool(rf_ok)}), flush=True)
+
     # Float64 anchor ON THE DEVICE (VERDICT r2 missing-#3): the reference's
     # flagship numbers are Float64 end-to-end (src/proto/proto.jl:15); here
     # the XLA path runs f64 on the chip at reduced size and must (a) agree
