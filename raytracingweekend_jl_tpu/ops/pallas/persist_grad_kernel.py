@@ -546,47 +546,17 @@ def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
         else:
             u5 = u5_ref[:]
 
-        act = (flags & _F_ACT) != 0
-        hit = (flags & _F_HIT) != 0
-        term = (flags & _F_TERM) != 0
-        regen = (flags & _F_REGEN) != 0
-        sp = flags >> _F_STRIP_SHIFT
-
-        cots = tuple(c[:] for c in cot_in)
-
-        # Deposit the carried (o, d) cotangent into the strip the regen
-        # started (it is the cotangent of that strip's camera ray); the
-        # initial throughput is the constant 1. Each strip starts at
-        # exactly one iteration per lane, so a masked write suffices.
-        for c in range(1, S):
-            sel = regen & (sp + 1 == c)
-            sf = sel.astype(jnp.float32)
-            nsf = 1.0 - sf
-            for j in range(6):
-                dep_out[6 * c + j][:] = (sf * cots[j]
-                                         + nsf * dep_in[6 * c + j][:])
-        for j in range(6):
-            dep_out[j][:] = dep_in[j][:]
-
-        # Cut the chain where the forward did: regen boundaries and
-        # inactive lanes carry no cotangent into this iteration.
-        czero = term | ~act
-        cots = tuple(jnp.where(czero, 0.0, c) for c in cots)
-
-        # Strip-select this lane's radiance gradient.
-        g3 = [jnp.zeros(flags.shape, jnp.float32)] * 3
-        for c in range(S):
-            sel = (sp == c).astype(jnp.float32)
-            g3 = [g3[j] + sel * grad_strips[3 * c + j][:] for j in range(3)]
-
         if rec_attrs:
             attrs_vals = tuple(r[0] for r in rec[11:21])
         else:
             attrs_vals = tuple(a[:] for a in attr_refs)
-        vals = tuple(r[0] for r in rec[0:10]) + (attrs_vals,)
-        adv = hit & ~term          # state advanced (hit & continued)
-        inject = act & ~hit        # banked T * sky(d) this iteration
-        cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
+        cot9, dattr9, new_dep = _replay_iter_core(
+            u5, tuple(r[0] for r in rec[0:10]), attrs_vals, flags,
+            tuple(c[:] for c in cot_in),
+            tuple(g[:] for g in grad_strips),
+            tuple(d[:] for d in dep_in), S)
+        for ref, val in zip(dep_out, new_dep):
+            ref[:] = val
         for ref, val in zip(cot_out, cot9):
             ref[:] = val
         for ref, val in zip(dattr_out, dattr9):
@@ -606,11 +576,57 @@ def _persist_replay_kernel(i_ref, seed_ref, *refs, n_strips: int,
 # cotangent/deposit planes and the grad strips stay RESIDENT in VMEM
 # (iteration-independent index maps); only the record slices stream (double-
 # buffered DMA overlapping the adjoint math) and the dattr planes stream out
-# for one flattened exact contraction afterwards. Slack slots past the
+# for the per-slot exact contraction afterwards. Slack slots past the
 # realized count have all-zero flags and skip. Numerics: per-lane cotangent
-# chains are the identical op sequence (bitwise ray gradients); the single
-# flattened dattr contraction differs from the per-slot sum only in f32
-# accumulation ORDER (last-ulp; disclaimed in _dattr_contract).
+# chains are the identical op sequence (bitwise ray gradients); the dattr
+# contraction differs from the loop replay's only in slot accumulation
+# ORDER (last-ulp; disclaimed in _dattr_contract).
+
+
+def _replay_iter_core(u5, rec_vals10, attrs_vals, flags, cots,
+                      strip_grad_vals, dep_vals, S: int):
+    """Shared per-iteration replay math for the loop and fused kernels (one
+    source for the numerics the loop-vs-fused bitwise contract relies on):
+    decode the event flags, deposit carried (o, d) cotangents into regen-
+    started strips, cut chains, strip-select the radiance gradient, and run
+    the bounce adjoint. ``rec_vals10`` = the 10 bounce-input record VALUES;
+    ``attrs_vals`` = the 10 winner-attribute planes (recorded or refetched);
+    ``dep_vals`` = current 6S deposit values. Returns
+    ``(cot9, dattr9, new_dep)`` — strip 0's deposits pass through."""
+    act = (flags & _F_ACT) != 0
+    hit = (flags & _F_HIT) != 0
+    term = (flags & _F_TERM) != 0
+    regen = (flags & _F_REGEN) != 0
+    sp = flags >> _F_STRIP_SHIFT
+
+    # Deposit the carried (o, d) cotangent into the strip the regen
+    # started (it is the cotangent of that strip's camera ray); the
+    # initial throughput is the constant 1. Each strip starts at exactly
+    # one iteration per lane, so a masked blend suffices.
+    new_dep = list(dep_vals)
+    for c in range(1, S):
+        sel = regen & (sp + 1 == c)
+        sf = sel.astype(jnp.float32)
+        nsf = 1.0 - sf
+        for j in range(6):
+            new_dep[6 * c + j] = sf * cots[j] + nsf * dep_vals[6 * c + j]
+
+    # Cut the chain where the forward did: regen boundaries and inactive
+    # lanes carry no cotangent into this iteration.
+    czero = term | ~act
+    cots = tuple(jnp.where(czero, 0.0, c) for c in cots)
+
+    # Strip-select this lane's radiance gradient.
+    g3 = [jnp.zeros(flags.shape, jnp.float32)] * 3
+    for c in range(S):
+        self_ = (sp == c).astype(jnp.float32)
+        g3 = [g3[j] + self_ * strip_grad_vals[3 * c + j] for j in range(3)]
+
+    vals = tuple(rec_vals10) + (tuple(attrs_vals),)
+    adv = hit & ~term          # state advanced (hit & continued)
+    inject = act & ~hit        # banked T * sky(d) this iteration
+    cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
+    return cot9, dattr9, tuple(new_dep)
 
 def _persist_replay_fused_kernel(i0_ref, seed_ref, *refs, n_strips: int,
                                  n_slots: int, hw_prng: bool):
@@ -664,40 +680,15 @@ def _persist_replay_fused_kernel(i0_ref, seed_ref, *refs, n_strips: int,
         else:
             u5 = u5_ref[0]
 
-        act = (flags & _F_ACT) != 0
-        hit = (flags & _F_HIT) != 0
-        term = (flags & _F_TERM) != 0
-        regen = (flags & _F_REGEN) != 0
-        sp = flags >> _F_STRIP_SHIFT
-
-        cots = tuple(c[:] for c in cot_out)
-
-        # Deposit the carried (o, d) cotangent into the strip the regen
-        # started (read-modify-write on the resident deposit windows;
-        # strip 0 is deposited from the final carry by the driver).
-        for c in range(1, S):
-            sel = regen & (sp + 1 == c)
-            sf = sel.astype(jnp.float32)
-            nsf = 1.0 - sf
-            for j in range(6):
-                dep_out[6 * c + j][:] = (sf * cots[j]
-                                         + nsf * dep_out[6 * c + j][:])
-
-        # Cut the chain where the forward did.
-        czero = term | ~act
-        cots = tuple(jnp.where(czero, 0.0, c) for c in cots)
-
-        # Strip-select this lane's radiance gradient.
-        g3 = [jnp.zeros(flags.shape, jnp.float32)] * 3
-        for c in range(S):
-            self_ = (sp == c).astype(jnp.float32)
-            g3 = [g3[j] + self_ * grad_strips[3 * c + j][:] for j in range(3)]
-
-        attrs_vals = tuple(r[0] for r in rec[11:21])
-        vals = tuple(r[0] for r in rec[0:10]) + (attrs_vals,)
-        adv = hit & ~term
-        inject = act & ~hit
-        cot9, dattr9 = _bounce_adjoint(u5, vals, tuple(g3), cots, adv, inject)
+        # Carries are the resident output windows (read-modify-write).
+        cot9, dattr9, new_dep = _replay_iter_core(
+            u5, tuple(r[0] for r in rec[0:10]),
+            tuple(r[0] for r in rec[11:21]), flags,
+            tuple(c[:] for c in cot_out),
+            tuple(g[:] for g in grad_strips),
+            tuple(d[:] for d in dep_out), S)
+        for ref, val in zip(dep_out, new_dep):
+            ref[:] = val
         for ref, val in zip(cot_out, cot9):
             ref[:] = val
         for ref, val in zip(dattr_out, dattr9):
@@ -713,18 +704,19 @@ def persist_replay_fused(cot: tuple, dep: tuple, rec: tuple,
     phase's absolute base iteration (PRNG streams are seeded by the absolute
     index, exactly as the record phase). Returns ``(cot, dep, dattr_all)``
     where ``dattr_all`` is 9 ``[n_slots, rows, LANES]`` planes (slot-aligned
-    with ``rec``/``rec_idx``; slack slots are zero) for one flattened
+    with ``rec``/``rec_idx``; slack slots are zero) for the per-slot
     :func:`grad_kernel._dattr_contract`. ``u5_all``: interpret-mode uniforms
     ``[n_slots, 5, rows, LANES]`` (slot-indexed, absolute-iteration streams).
     """
     assert len(rec) == 21, (len(rec), "fused replay needs the full record")
     rows = cot[0].shape[0]
     S = n_strips
-    # Own block-rows override (RTW_RFUSED_BLOCK_ROWS): the fused grid holds
-    # ~2x the record kernel's resident planes, so a VMEM-bound compile can
-    # be retried at 32 rows without touching the record phase's tuning.
-    br = (int(os.environ.get("RTW_RFUSED_BLOCK_ROWS", "0"))
-          or _persist_block_rows(S))
+    # Block rows MUST equal the record phase's (_persist_block_rows): the
+    # hardware PRNG stream is seeded per (iteration, block) and _uniforms
+    # draws are block-shape-dependent, so a different replay decomposition
+    # would silently replay the wrong path. Retry a VMEM-bound compile with
+    # RTW_PERSIST_BLOCK_ROWS=32, which retunes BOTH phases consistently.
+    br = _persist_block_rows(S)
     assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
     n_blocks = rows // br
     n_slots = rec[0].shape[0]
@@ -1210,9 +1202,18 @@ def _run_replay_phase_fused(scene, key, seed, rec, rec_idx, counts,
     cot, dep, dattr_all = persist_replay_fused(
         cot, dep, rec, grad_strips, i0, seed, S, interpret=interpret,
         u5_all=u5_all)
-    g_attr = g_attr + _dattr_contract(
-        [p.reshape(-1) for p in dattr_all], rec_idx.reshape(-1),
-        scene.n_spheres)
+
+    # Contract slot by slot (lax.scan inside the same jitted program):
+    # a single flattened dot would fuse its one-hot operand at
+    # [n_slots * W, n] — ~11 GB of bf16 at flagship scale — while the
+    # per-slot peak matches the loop replay's (~256 MB).
+    def one_slot(g, slot):
+        d9 = [jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
+              .reshape(-1) for p in dattr_all]
+        return g + _dattr_contract(d9, rec_idx[slot], scene.n_spheres), None
+
+    g_attr, _ = jax.lax.scan(one_slot, g_attr,
+                             jnp.arange(n_slots, dtype=jnp.int32))
     return cot, dep, g_attr
 
 
@@ -1267,6 +1268,14 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
     # the lean 11-slice record keeps the per-iteration loop.
     run_phase = (_run_replay_phase_fused
                  if replay_fused and len(rec) == 21 else _run_replay_phase)
+    if replay_fused and len(rec) != 21:
+        # Surface the silent downgrade (e.g. plan_pass_memory picked the
+        # lean record at high spp): a bench row requested as "fused" would
+        # otherwise measure the loop replay. Trace-time warning (static).
+        import warnings
+        warnings.warn("RTW_REPLAY_FUSED requested but the record is the "
+                      "lean 11-slice form (rec_attrs=False) — falling back "
+                      "to the per-iteration loop replay", stacklevel=2)
 
     if tail_compact is not None:
         # Phase-2 replay in the compacted space, then transpose the

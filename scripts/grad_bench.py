@@ -176,7 +176,7 @@ def main() -> None:
               recorded_persist=(8, None, (44, 16), False))),
         # Fused whole-phase replay: ONE pallas_call walks each record
         # phase in reverse (carries resident in VMEM, record slices
-        # streamed) + one flattened dattr contraction, replacing ~74
+        # streamed) + a per-slot dattr contraction scan, replacing ~74
         # per-iteration replay launches.
         ("persist_rfused_auto",
          dict(remat=False, recorded=True, pixel_chunk=None,
@@ -201,8 +201,11 @@ def main() -> None:
 
     for name, kw in configs:
         remat = kw.pop("remat")
+        # Config-scoped env (read at trace time); restored after the config
+        # so a full sweep doesn't leak it into later configs' traces.
+        env_save = {k: os.environ.get(k) for k in kw.get("_env", {})}
         for k, v in kw.pop("_env", {}).items():
-            os.environ[k] = v  # read at trace time (fresh-process configs)
+            os.environ[k] = v
         try:
             # One jitted program per step (value_and_grad over ALL chunks +
             # loss glue): on the axon tunnel each separate dispatch costs
@@ -235,6 +238,11 @@ def main() -> None:
             rec = {"ts": time.time(),
                    "label": f"grad_step_{name}_{W}x{H}x{spp}",
                    "error": repr(e)[:300]}
+        for k, v in env_save.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         append_history(rec, hist_path)
         print(json.dumps(rec), flush=True)
 

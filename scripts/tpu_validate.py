@@ -122,9 +122,11 @@ def main() -> None:
     res = {}
     for tag, env in (("loop", "0"), ("fused", "1")):
         os.environ["RTW_REPLAY_FUSED"] = env
-        l, (gs, go) = jax.value_and_grad(ploss, argnums=(0, 1),
-                                         allow_int=True)(scene, o, d)
-        res[tag] = (float(l), np.asarray(go), np.asarray(gs.albedo))
+        l, (gs, go, gd) = jax.value_and_grad(ploss, argnums=(0, 1, 2),
+                                             allow_int=True)(scene, o, d)
+        res[tag] = (float(l), np.concatenate([np.asarray(go),
+                                              np.asarray(gd)]),
+                    np.asarray(gs.albedo))
     os.environ.pop("RTW_REPLAY_FUSED", None)
     ray_bitwise = bool((res["loop"][1] == res["fused"][1]).all())
     alb_scale = max(np.abs(res["loop"][2]).max(), 1e-6)
