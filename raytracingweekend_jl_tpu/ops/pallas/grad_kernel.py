@@ -506,6 +506,130 @@ def replay_bwd_step(cot: tuple, rec: tuple, grad3: tuple, bounce, seed,
 
 
 # ---------------------------------------------------------------------------
+# Fused replay: the whole reverse bounce walk as ONE pallas_call
+# ---------------------------------------------------------------------------
+# Same design as the persistent path's persist_replay_fused (see
+# persist_grad_kernel.py): replay consumes only records, so grid
+# (block, bounce) with the bounce axis innermost keeps the 9 carried
+# cotangent planes and the 3 radiance-gradient planes RESIDENT in VMEM
+# while the record slices stream double-buffered — replacing max_depth
+# kernel launches that each round-trip the carries through HBM. This is
+# the launch-overhead lever for the paths that use the fixed-depth pair:
+# sharded tiles (grad_mode="fused") and small images (< 2^17 pixels,
+# resolve_grad_path), where per-launch cost dominates the tiny planes.
+
+def _replay_bwd_fused_kernel(seed_ref, *refs, n_slots: int, hw_prng: bool):
+    if hw_prng:
+        u5_ref = None
+    else:
+        u5_ref, refs = refs[0], refs[1:]
+    rec = refs[0:21]
+    grad3 = refs[21:24]
+    out = refs[24:]
+    cot_out = out[0:9]
+    dattr_out = out[9:18]
+
+    blk = pl.program_id(0)
+    it = pl.program_id(1)
+    slot = jnp.int32(n_slots - 1) - it
+
+    # First bounce visited for this block: zero the resident carry windows
+    # (the initial cotangent is zero; output blocks are not HBM-loaded).
+    @pl.when(it == 0)
+    def _init_carry():
+        z = jnp.zeros(grad3[0].shape, jnp.float32)
+        for ref in cot_out:
+            ref[:] = z
+
+    af = rec[10][0]
+    anyalive = jnp.any(af != 0)
+
+    @pl.when(jnp.logical_not(anyalive))
+    def _skip_dead():
+        # Carries are resident — untouched is the passthrough; the streamed
+        # dattr slot must still be written.
+        z = jnp.zeros(grad3[0].shape, jnp.float32)
+        for ref in dattr_out:
+            ref[0] = z
+
+    @pl.when(anyalive)
+    def _adjoint():
+        if hw_prng:
+            # The record kernel's per-call scalar was ``seed + bounce`` and
+            # _seed_prng adds ``program_id(0) * stride`` (= the block).
+            pltpu.prng_seed(seed_ref[0] + slot
+                            + blk * jnp.int32(_BLOCK_SEED_STRIDE))
+            u5 = _uniforms(af.shape, 5)
+        else:
+            u5 = u5_ref[0]
+
+        vals = tuple(r[0] for r in rec[0:10]) \
+            + (tuple(r[0] for r in rec[11:21]),)
+        active = af != 0
+        hit = rec[9][0] < jnp.float32(BIG)
+        hitm = hit & active
+        missm = active & ~hit
+        cot9, dattr9 = _bounce_adjoint(
+            u5, vals, tuple(g[:] for g in grad3),
+            tuple(c[:] for c in cot_out), hitm, missm)
+        for ref, val in zip(cot_out, cot9):
+            ref[:] = val
+        for ref, val in zip(dattr_out, dattr9):
+            ref[0] = val
+
+
+def replay_bwd_fused(rec: tuple, grad3: tuple, seed,
+                     interpret: bool = False, u5_all=None):
+    """The entire reverse bounce walk as one pallas_call: consumes the full
+    21-slice record, returns ``(cot, dattr_all)`` where ``dattr_all`` is 9
+    ``[max_depth, rows, LANES]`` planes (bounce-aligned with ``rec_idx``;
+    dead-block slots are zero) for the per-bounce contraction scan.
+    ``u5_all``: interpret-mode uniforms ``[max_depth, 5, rows, LANES]``."""
+    n_slots, rows = rec[0].shape[0], rec[0].shape[1]
+    assert rows % SHADE_ROWS == 0, (rows, SHADE_ROWS)
+    grid = (rows // SHADE_ROWS, n_slots)
+    hw_prng = u5_all is None
+
+    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda b, it, *_: (b, 0),
+                        memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+                            lambda b, it, *_: (n_slots - 1 - it, b, 0),
+                            memory_space=pltpu.VMEM)
+    rng_specs, rng_planes = [], []
+    if not hw_prng:
+        rng_planes = [u5_all]
+        rng_specs = [pl.BlockSpec(
+            (1, 5, SHADE_ROWS, LANES),
+            lambda b, it, *_: (n_slots - 1 - it, 0, b, 0),
+            memory_space=pltpu.VMEM)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=rng_specs + [rec_spec] * 21 + [spec] * 3,
+        out_specs=[spec] * 9 + [rec_spec] * 9,
+    )
+    f32 = jnp.float32
+    out_shapes = ([jax.ShapeDtypeStruct((rows, LANES), f32)] * 9
+                  + [jax.ShapeDtypeStruct((n_slots, rows, LANES), f32)] * 9)
+
+    outs = pl.pallas_call(
+        partial(_replay_bwd_fused_kernel, n_slots=n_slots, hw_prng=hw_prng),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1,),
+      *rng_planes, *rec, *grad3)
+    return tuple(outs[:9]), tuple(outs[9:])
+
+
+def _replay_fused_default() -> bool:
+    """Fused whole-phase replay on/off (read at trace time). Opt-in via
+    RTW_REPLAY_FUSED=1 until measured on the device."""
+    return os.environ.get("RTW_REPLAY_FUSED", "0") == "1"
+
+
+# ---------------------------------------------------------------------------
 # Driver: custom-VJP trace built on the kernel pair
 # ---------------------------------------------------------------------------
 
@@ -666,9 +790,10 @@ def _dattr_contract(dattr_flat9, idx, n: int):
     return c[:, 0:9] + c[:, 9:18] + c[:, 18:27]
 
 
-@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "R"))
+@partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret", "R",
+                                   "replay_fused"))
 def _fused_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
-                    interpret, R):
+                    interpret, R, replay_fused=False):
     rows = rec[0].shape[1]
     n = scene.n_spheres
     f32 = jnp.float32
@@ -679,17 +804,32 @@ def _fused_bwd_impl(scene, key, rec, rec_idx, g_rad, max_depth, tmin,
     cot = (zer,) * 9
     g_attr = jnp.zeros((n, 9), f32)
 
-    def back(carry, b):
-        cot, g_attr = carry
-        u5 = _u5_for(key, b, rows) if interpret else None
-        cot, dattr = replay_bwd_step(cot, rec, grad3, b, seed + b,
-                                     interpret=interpret, u5=u5)
-        g_attr = g_attr + _dattr_contract(
-            [p.reshape(-1)[:R] for p in dattr], rec_idx[b], n)
-        return (cot, g_attr), None
+    if replay_fused:
+        u5_all = (jnp.stack([_u5_for(key, b, rows)
+                             for b in range(max_depth)])
+                  if interpret else None)
+        cot, dattr_all = replay_bwd_fused(rec, grad3, seed,
+                                          interpret=interpret, u5_all=u5_all)
 
-    (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),
-                                    jnp.arange(max_depth - 1, -1, -1))
+        def one_slot(g, b):
+            d9 = [jax.lax.dynamic_index_in_dim(p, b, keepdims=False)
+                  .reshape(-1)[:R] for p in dattr_all]
+            return g + _dattr_contract(d9, rec_idx[b], n), None
+
+        g_attr, _ = jax.lax.scan(one_slot, g_attr,
+                                 jnp.arange(max_depth, dtype=jnp.int32))
+    else:
+        def back(carry, b):
+            cot, g_attr = carry
+            u5 = _u5_for(key, b, rows) if interpret else None
+            cot, dattr = replay_bwd_step(cot, rec, grad3, b, seed + b,
+                                         interpret=interpret, u5=u5)
+            g_attr = g_attr + _dattr_contract(
+                [p.reshape(-1)[:R] for p in dattr], rec_idx[b], n)
+            return (cot, g_attr), None
+
+        (cot, g_attr), _ = jax.lax.scan(back, (cot, g_attr),
+                                        jnp.arange(max_depth - 1, -1, -1))
     g_org = jnp.stack([p.reshape(-1)[:R] for p in cot[0:3]], axis=-1)
     g_dir = jnp.stack([p.reshape(-1)[:R] for p in cot[3:6]], axis=-1)
     return g_attr, g_org, g_dir
@@ -700,7 +840,8 @@ def _fused_bwd(max_depth, tmin, interpret, residuals, g_rad):
     R, dtype = g_rad.shape[0], dtype_token.dtype
     g_attr, g_org, g_dir = _fused_bwd_impl(scene, key, rec, rec_idx,
                                            g_rad.astype(jnp.float32),
-                                           max_depth, tmin, interpret, R=R)
+                                           max_depth, tmin, interpret, R=R,
+                                           replay_fused=_replay_fused_default())
     g_scene = scene._replace(
         center=g_attr[:, 0:3].astype(scene.center.dtype),
         radius=g_attr[:, 3].astype(scene.radius.dtype),

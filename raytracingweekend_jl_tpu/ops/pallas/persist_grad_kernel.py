@@ -75,7 +75,8 @@ def _persist_block_rows(n_strips: int) -> int:
         return int(env)
     return SHADE_ROWS if n_strips < 16 else 32
 from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
-                          _dattr_contract, _float0_like)
+                          _dattr_contract, _float0_like,
+                          _replay_fused_default)
 
 #: flag-plane bit layout (record kernel writes, replay kernel reads)
 _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
@@ -1217,12 +1218,6 @@ def _run_replay_phase_fused(scene, key, seed, rec, rec_idx, counts,
     return cot, dep, g_attr
 
 
-def _replay_fused_default() -> bool:
-    """Fused whole-phase replay on/off (read at trace time). Opt-in via
-    RTW_REPLAY_FUSED=1 until measured on the device; requires
-    ``rec_attrs=True`` (the 21-slice record) — lean records fall back to
-    the per-iteration loop."""
-    return os.environ.get("RTW_REPLAY_FUSED", "0") == "1"
 
 
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "n_strips",

@@ -182,6 +182,11 @@ def main() -> None:
          dict(remat=False, recorded=True, pixel_chunk=None,
               recorded_persist=(8, None, (44, 16)),
               _env={"RTW_REPLAY_FUSED": "1"})),
+        # Same lever on the fixed-depth pair (the sharded-tile / small-image
+        # path): whole reverse bounce walk as one pallas_call.
+        ("fused_rfused_auto",
+         dict(remat=False, recorded=True, recorded_fused=True,
+              _env={"RTW_REPLAY_FUSED": "1"})),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),

@@ -141,6 +141,37 @@ def main() -> None:
                       "albedo_allclose": alb_close,
                       "pass": bool(rf_ok)}), flush=True)
 
+    # Same contract for the FIXED-DEPTH pair's fused replay (the sharded-
+    # tile / small-image grad path).
+    from raytracingweekend_jl_tpu.ops.pallas.grad_kernel import (
+        trace_recorded_fused)
+
+    def floss(sc, oo, dd):
+        r = trace_recorded_fused(sc, oo, dd, tk, 16, 1e-4, False)
+        return jnp.mean(r * r)
+
+    res = {}
+    for tag, env in (("loop", "0"), ("fused", "1")):
+        os.environ["RTW_REPLAY_FUSED"] = env
+        l, (gs, go, gd) = jax.value_and_grad(floss, argnums=(0, 1, 2),
+                                             allow_int=True)(scene, o, d)
+        res[tag] = (float(l), np.concatenate([np.asarray(go),
+                                              np.asarray(gd)]),
+                    np.asarray(gs.albedo))
+    os.environ.pop("RTW_REPLAY_FUSED", None)
+    ray_bitwise = bool((res["loop"][1] == res["fused"][1]).all())
+    alb_scale = max(np.abs(res["loop"][2]).max(), 1e-6)
+    alb_close = bool(np.allclose(res["fused"][2], res["loop"][2],
+                                 atol=1e-6 + 1e-5 * alb_scale))
+    ff_ok = (res["loop"][0] == res["fused"][0]) and ray_bitwise and alb_close
+    ok &= ff_ok
+    print(json.dumps({"check": "fixed_replay_fused_vs_loop",
+                      "loss_loop": res["loop"][0],
+                      "loss_fused": res["fused"][0],
+                      "ray_grads_bitwise": ray_bitwise,
+                      "albedo_allclose": alb_close,
+                      "pass": bool(ff_ok)}), flush=True)
+
     # Float64 anchor ON THE DEVICE (VERDICT r2 missing-#3): the reference's
     # flagship numbers are Float64 end-to-end (src/proto/proto.jl:15); here
     # the XLA path runs f64 on the chip at reduced size and must (a) agree

@@ -346,3 +346,35 @@ def test_staged_vjp_matches_twin_autodiff():
     scale = max(np.abs(b).max(), 1e-6)
     np.testing.assert_allclose(a, b, atol=1e-5 + 2e-3 * scale,
                                err_msg="direction (tangential)")
+
+
+def test_fused_replay_whole_walk_matches_loop(monkeypatch):
+    """RTW_REPLAY_FUSED=1 on the fixed-depth pair (whole reverse bounce walk
+    as one pallas_call, carries resident) must reproduce the per-bounce loop
+    replay: identical loss, BITWISE ray gradients, scene gradients equal up
+    to f32 accumulation order in the per-bounce contraction scan."""
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    g_out = jax.random.normal(jax.random.PRNGKey(5), (o.shape[0], 3),
+                              jnp.float32)
+
+    def loss(sc, oo, dd):
+        r = trace_recorded_fused(sc, oo, dd, tk, 8, 1e-4, True)
+        return jnp.vdot(r, g_out)
+
+    monkeypatch.delenv("RTW_REPLAY_FUSED", raising=False)
+    l_loop, (gs_l, go_l, gd_l) = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), allow_int=True)(scene, o, d)
+    monkeypatch.setenv("RTW_REPLAY_FUSED", "1")
+    l_fused, (gs_f, go_f, gd_f) = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), allow_int=True)(scene, o, d)
+
+    assert float(l_loop) == float(l_fused)
+    np.testing.assert_array_equal(np.asarray(go_l), np.asarray(go_f),
+                                  err_msg="origin")
+    np.testing.assert_array_equal(np.asarray(gd_l), np.asarray(gd_f),
+                                  err_msg="direction")
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a, b = np.asarray(getattr(gs_l, f)), np.asarray(getattr(gs_f, f))
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=1e-6 + 1e-5 * scale, err_msg=f)
