@@ -187,6 +187,14 @@ def main() -> None:
         ("fused_rfused_auto",
          dict(remat=False, recorded=True, recorded_fused=True,
               _env={"RTW_REPLAY_FUSED": "1"})),
+        # S=16 retry under fused replay: the earlier S=16 rejection (12.1-
+        # 13.1 vs 13.9) bundled doubled per-iteration REPLAY overhead with
+        # the denser-head record gain (12.9 vs 10.6 uncompacted); fused
+        # replay removes exactly that overhead, so the trade may flip.
+        ("persist_s16_rfused_auto",
+         dict(remat=False, recorded=True, pixel_chunk=None,
+              recorded_persist=(16, None, (88, 16)),
+              _env={"RTW_REPLAY_FUSED": "1"})),
         # The no-flags default path render_loss resolves on its own
         # (TPU full image -> persistent-record pair).
         ("default_auto", dict(remat=None)),

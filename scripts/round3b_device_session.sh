@@ -38,6 +38,7 @@ run python scripts/grad_bench.py --config default_auto --spp 16
 run python scripts/grad_bench.py --config persist_rfused_auto
 run python scripts/grad_bench.py --config persist_rfused_auto --spp 4
 run python scripts/grad_bench.py --config fused_rfused_auto
+run python scripts/grad_bench.py --config persist_s16_rfused_auto
 
 # 8. Driver metric line (forward + grad headline from history).
 run python bench.py
