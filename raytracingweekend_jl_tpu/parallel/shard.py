@@ -163,6 +163,19 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                              recorded_persist=recorded_persist)
 
 
+def _auto_grad_mode(backend: str, tile_size: int) -> str:
+    """Default recorded-integrator choice per shard tile: the fixed-depth
+    kernel pair at typical shard tile sizes; the strip-refilled persistent
+    pair once a tile is big enough that its strip geometry stops
+    degenerating (the same >=2^17-pixel threshold resolve_grad_path uses
+    for full images, where persist measured 13.9 vs 8.0 Mpaths/s). CPU:
+    the XLA recorded path (the kernel pairs would run in interpret mode —
+    covered by an explicit-grad_mode mesh test instead)."""
+    if backend == "cpu":
+        return "recorded"
+    return "persist" if tile_size >= (1 << 17) else "fused"
+
+
 def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
                        image_width: int, n_samples: int, *, mesh: Mesh,
                        lr: float = 0.01, tile_size: int = DEFAULT_TILE,
@@ -184,10 +197,7 @@ def sharded_train_step(scene: Scene, cam: Camera, target: jnp.ndarray,
     # path; also the CPU fallback — render_tile_sum interprets the Pallas
     # pairs on CPU, so mesh tests still cover the dispatch).
     if grad_mode is None:
-        # TPU: the kernel-pair path (fastest at shard tile sizes). CPU: the
-        # XLA recorded path (the kernel pairs would run in interpret mode —
-        # covered by an explicit-grad_mode mesh test instead).
-        grad_mode = "fused" if jax.default_backend() != "cpu" else "recorded"
+        grad_mode = _auto_grad_mode(jax.default_backend(), tile_size)
     if grad_mode not in ("fused", "persist", "recorded"):
         raise ValueError(f"unknown grad_mode {grad_mode!r}")
     rkw = dict(recorded=True,

@@ -148,3 +148,16 @@ def test_sharded_train_step_fused_grad_mode():
                                        grad_mode="fused")
     assert np.isfinite(float(loss))
     assert not np.allclose(np.asarray(updated.albedo), np.asarray(bad.albedo))
+
+
+def test_auto_grad_mode_decision_table():
+    """sharded_train_step's default integrator mirrors resolve_grad_path:
+    XLA recorded on CPU; fixed-depth pair at typical shard tiles; the
+    persistent pair for >=2^17-pixel tiles (where its strip geometry pays:
+    13.9 vs 8.0 Mpaths/s at flagship widths)."""
+    from raytracingweekend_jl_tpu.parallel.shard import _auto_grad_mode
+    assert _auto_grad_mode("cpu", 1 << 20) == "recorded"
+    assert _auto_grad_mode("tpu", 8192) == "fused"
+    assert _auto_grad_mode("tpu", (1 << 17) - 1) == "fused"
+    assert _auto_grad_mode("tpu", 1 << 17) == "persist"
+    assert _auto_grad_mode("tpu", 1 << 21) == "persist"
