@@ -122,6 +122,13 @@ def run(cfg: RenderConfig) -> dict:
         try:
             multihost.initialize()  # auto-detect cluster env; no-op single-proc
         except (RuntimeError, ValueError) as e:
+            if multihost.cluster_env_hint():
+                # A real multi-process launch that fails to connect must NOT
+                # degrade: N disconnected processes would each render the
+                # full image and race on the same output file (ADVICE r3).
+                raise SystemExit(
+                    "multihost init failed on a detected cluster launch: "
+                    f"{e!r}") from e
             # Mis-detected metadata must degrade to single-process, not die.
             print(json.dumps({"multihost_init_skipped": repr(e)[:160]}))
         mesh = multihost.make_multihost_mesh(n_samples_axis=cfg.mesh_samples)

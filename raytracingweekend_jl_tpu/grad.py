@@ -127,7 +127,9 @@ def resolve_grad_path(kwargs: dict, n_pix: int, backend: str) -> dict:
                 "gradient integrators are selected via recorded/"
                 "recorded_fused/recorded_persist (or left to the default)")
     rp = kwargs.get("recorded_persist")
-    if rp is not None and (isinstance(rp, bool) or len(rp) < 2):
+    if rp is not None and (isinstance(rp, bool)
+                           or not isinstance(rp, (tuple, list))
+                           or len(rp) < 2):
         raise ValueError(
             "recorded_persist must be (n_strips, n_iters|None[, "
             "tail_compact]) — e.g. (8, None) or (8, None, (44, 16)); "
@@ -268,6 +270,78 @@ def render_grads(scene: Scene, cam: Camera, target: jnp.ndarray,
 
     loss, grads = jax.value_and_grad(f)(_params_of(scene))
     return loss, grads
+
+
+class GradSanityError(RuntimeError):
+    """A gradient failed the built-in sanity tripwire (non-finite values or
+    an absurd magnitude). Raised so corrupted measurements FAIL the run
+    instead of landing in a JSONL (the ts-1787002624 incident: a grid-
+    alignment bug produced grad_albedo_sum=195971 on device and nothing
+    automatic caught it)."""
+
+
+def check_grads_sane(grads, loss=None, max_abs: float = 1e3) -> None:
+    """Host-side tripwire for gradient records: every leaf must be finite and
+    its |sum| and max-|elem| below ``max_abs`` (the book scenes' true
+    gradient sums are O(0.05); 1e3 is ~4 orders of margin while catching
+    blown values instantly). Call it from benchmark/session drivers after
+    fetching gradients — it is NOT jittable (it inspects concrete values).
+    Raises :class:`GradSanityError` with the offending field."""
+    import numpy as np
+    if loss is not None:
+        lv = float(np.asarray(loss))
+        if not np.isfinite(lv):
+            raise GradSanityError(f"loss is not finite: {lv}")
+    leaves, _ = jax.tree.flatten(grads)
+    names = (list(grads._fields) if hasattr(grads, "_fields")
+             else [str(i) for i in range(len(leaves))])
+    for name, leaf in zip(names, leaves):
+        a = np.asarray(leaf)
+        if not np.isfinite(a).all():
+            raise GradSanityError(f"grad[{name}] contains non-finite values "
+                                  f"({np.count_nonzero(~np.isfinite(a))} of "
+                                  f"{a.size})")
+        s, m = abs(float(a.sum())), float(np.abs(a).max())
+        if s > max_abs or m > max_abs:
+            raise GradSanityError(
+                f"grad[{name}] magnitude implausible: |sum|={s:.4g}, "
+                f"max|elem|={m:.4g} (bound {max_abs:g}) — likely kernel "
+                "corruption; re-run and audit before recording")
+
+
+def twin_ad_canary(scene: Scene, cam: Camera, width: int = 256,
+                   n_samples: int = 8, **kwargs) -> None:
+    """Cheap once-per-session corruption cross-check: gradients from the
+    recorded (kernel-pair) integrator and the remat (pure-XLA transpose)
+    integrator on a small config. The two paths share no replay code but
+    estimate the same gradient; their RNG streams differ on hardware, so
+    the check is NOISE-ROBUST — per-field L2 norms within 4x and cosine
+    similarity > 0.5 — which still catches corruption instantly (the
+    ts-1787002624 incident blew the norm by ~6 orders of magnitude).
+    Raises :class:`GradSanityError` on disagreement."""
+    import numpy as np
+    from .render import image_height_for, render_radiance
+    target = render_radiance(scene, cam, width, 1, seed=123)
+    bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
+    _, g_rec = render_grads(bad, cam, target, width, n_samples, seed=5,
+                            **kwargs)
+    _, g_ref = render_grads(bad, cam, target, width, n_samples, seed=5,
+                            recorded=False, remat=True)
+    check_grads_sane(g_rec)
+    check_grads_sane(g_ref)
+    for name in SceneGrads._fields:
+        a = np.asarray(getattr(g_rec, name), np.float64).ravel()
+        b = np.asarray(getattr(g_ref, name), np.float64).ravel()
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        if nb < 1e-9 and na < 1e-9:
+            continue
+        ratio = na / max(nb, 1e-12)
+        cos = float(a @ b) / max(na * nb, 1e-24)
+        if not (0.25 < ratio < 4.0) or cos < 0.5:
+            raise GradSanityError(
+                f"twin-AD canary: grad[{name}] recorded-vs-remat norm ratio "
+                f"{ratio:.3g} (want 0.25-4) / cosine {cos:.3f} (want >0.5) "
+                "— kernel-pair gradients look corrupted")
 
 
 def sgd_inverse_render_step(scene: Scene, cam: Camera, target: jnp.ndarray,

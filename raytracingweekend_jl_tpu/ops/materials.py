@@ -147,25 +147,16 @@ def _onehot_cols_exact(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.nda
     return cols3[0:f] + cols3[f:2 * f] + cols3[2 * f:3 * f]
 
 
-def _onehot_flip() -> bool:
-    """Small-M one-hot contractions (the ``_onehot_cols_exact`` fetch and
-    the flipped dattr reduction in grad_kernel) are the default;
-    RTW_ONEHOT_NOFLIP=1 reverts to the N-padded row forms for on-device
-    A/B. Both forms are bit-exact gathers, so outputs are identical.
-
-    Read at TRACE time inside jitted programs — the flag is not part of
-    the jit cache key, so toggling it mid-process silently has no effect
-    on already-compiled steps. A/B runs must use fresh processes (as
-    scripts/round3b_device_session.sh does)."""
-    return os.environ.get("RTW_ONEHOT_NOFLIP") != "1"
-
-
 def fetch_attr_planes(index: jnp.ndarray, attr: jnp.ndarray, n: int) -> jnp.ndarray:
     """Winner-attribute fetch in [F, R] plane-major layout (bit-exact
-    gather), flip-gated between the two MXU one-hot forms."""
-    if _onehot_flip():
-        return _onehot_cols_exact(index, attr, n)
-    return _onehot_rows_exact(index, attr, n).T
+    gather) — the small-M ``_onehot_cols_exact`` form. The round-3b
+    on-device A/B measured the two forms perf-neutral on the full step
+    (14.08 vs 14.16 Mpaths/s, within rerun noise) with bit-identical
+    outputs, so the structurally cheaper form (attribute dim on the MXU
+    M axis, no output transpose) is used unconditionally and the former
+    RTW_ONEHOT_NOFLIP trace-time env toggle was removed (ADVICE r3: an
+    env read inside traced code is not part of the jit cache key)."""
+    return _onehot_cols_exact(index, attr, n)
 
 
 def scatter(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray,

@@ -1,4 +1,4 @@
-"""PROTOTYPE: two-level (cluster-bound) sphere sweep — the coarse spatial
+"""PROTOTYPE (experimental/, not a production path): two-level (cluster-bound) sphere sweep — the coarse spatial
 structure named in docs/SWEEP_HEADROOM.md lever #1 and VERDICT r2 next-#3.
 
 The reference has no acceleration structure at all (SURVEY.md "no BVH" —
@@ -41,9 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...scene import Scene
-from ..intersect import HitResult, DEFAULT_TMIN, BIG
-from .intersect_kernel import LANES, BLOCK_ROWS, _pad_rows
+from ....scene import Scene
+from ...intersect import HitResult, DEFAULT_TMIN, BIG
+from ..intersect_kernel import LANES, BLOCK_ROWS, _pad_rows
 
 #: Dummy-slot ck: forces disc = hb^2 - (oo - 2 oc + ck) < 0 for any
 #: plausible ray (f32-safe: well below overflow, far above scene scale).

@@ -624,9 +624,14 @@ def replay_bwd_fused(rec: tuple, grad3: tuple, seed,
 
 
 def _replay_fused_default() -> bool:
-    """Fused whole-phase replay on/off (read at trace time). Opt-in via
-    RTW_REPLAY_FUSED=1 until measured on the device."""
-    return os.environ.get("RTW_REPLAY_FUSED", "0") == "1"
+    """Fused whole-phase replay on/off. DEFAULT ON since the round-4
+    on-device A/B: persistent pair 14.73 vs 14.08 Mpaths/s at flagship
+    1 spp (16.39 vs 16.18 at spp 4), fixed-depth pair 8.71 vs 7.99 —
+    bench_history *_rfused_* rows; gradients equal to f32 accumulation
+    order (tpu_validate bitwise ray-grad check). RTW_REPLAY_FUSED=0
+    opts out. Read at TRACE time (not part of the jit cache key): set
+    it before the first compile of a program, fresh process per A/B."""
+    return os.environ.get("RTW_REPLAY_FUSED", "1") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -763,23 +768,30 @@ def _dattr_contract(dattr_flat9, idx, n: int):
     ``out[s, j] = sum_w (idx[w] == s) * dattr_flat9[j][w]`` ([n, 9] f32).
 
     dattr_flat9: 9 flat [R] f32 arrays (the replay kernel's output planes).
-    Both forms are MXU one-hot contractions with exact bf16-split operands;
-    the flipped default keeps the 27-row attribute dim on the M axis instead
-    of padding it to a 128-wide N tile (~4x less MXU work at record widths).
-    The two forms may differ in f32 accumulation ORDER (many partials per
-    output row), i.e. last-ulp — gradients are FD-validated either way.
+    The flipped (small-M) form keeps the 27-row attribute dim on the M axis
+    instead of padding it to a 128-wide N tile (~4x less MXU work at record
+    widths); the round-3b A/B measured it perf-neutral vs the row form on
+    the full step, and it needs no [R, 9] restack. The two forms differ
+    only in f32 accumulation ORDER (many partials per output row), i.e.
+    last-ulp — gradients are FD-validated either way
+    (:func:`_dattr_contract_rowform` is kept as the comparison oracle).
     """
-    from ..materials import _onehot_flip
     f32 = jnp.float32
-    if _onehot_flip():
-        rows9t = jnp.stack(dattr_flat9, axis=0)          # [9, R]: no transpose
-        rows27t = _split3_bf16_rows(rows9t)              # [27, R] bf16
-        onehot = (idx[:, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-                  ).astype(jnp.bfloat16)                 # [R, n]
-        c = jax.lax.dot_general(rows27t, onehot, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)  # [27, n]
-        return (c[0:9] + c[9:18] + c[18:27]).T
+    rows9t = jnp.stack(dattr_flat9, axis=0)          # [9, R]: no transpose
+    rows27t = _split3_bf16_rows(rows9t)              # [27, R] bf16
+    onehot = (idx[:, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+              ).astype(jnp.bfloat16)                 # [R, n]
+    c = jax.lax.dot_general(rows27t, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)  # [27, n]
+    return (c[0:9] + c[9:18] + c[18:27]).T
+
+
+def _dattr_contract_rowform(dattr_flat9, idx, n: int):
+    """Row-form (N-padded) counterpart of :func:`_dattr_contract` — retired
+    from production by the round-3b A/B; kept as the accumulation-order
+    comparison oracle for tests."""
+    f32 = jnp.float32
     rows9 = jnp.stack(dattr_flat9, axis=-1)              # [R, 9]
     onehot = (idx[:, None]
               == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)

@@ -76,7 +76,7 @@ def _persist_block_rows(n_strips: int) -> int:
     return SHADE_ROWS if n_strips < 16 else 32
 from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
                           _dattr_contract, _float0_like,
-                          _replay_fused_default)
+                          _replay_fused_default, _BLOCK_SEED_STRIDE)
 
 #: flag-plane bit layout (record kernel writes, replay kernel reads)
 _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8

@@ -80,7 +80,9 @@ def main():
                                      False, False, tc)
         return jnp.mean(rad * rad)
 
-    vg = jax.jit(jax.value_and_grad(loss))
+    # allow_int: Scene carries the int32 mat_type plane (its cotangent is
+    # float0); the probe only reads the timing.
+    vg = jax.jit(jax.value_and_grad(loss, allow_int=True))
     t_min, t_mean = timeit(vg, scene, o, d)
     print(f"value_and_grad: min {t_min*1e3:.1f} ms  mean {t_mean*1e3:.1f} ms"
           f"  ({R/t_min/1e6:.2f} Mpaths/s)")

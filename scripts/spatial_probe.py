@@ -1,6 +1,6 @@
 """Spatial-structure prototype measurement (docs/SPATIAL.md decision record).
 
-Measures the two-level cluster sweep (ops/pallas/grid_kernel.py) against the
+Measures the two-level cluster sweep (ops/pallas/experimental/grid_kernel.py) against the
 production flat sweep on the flagship scene, across LANE ORDERINGS — the
 variable SWEEP_HEADROOM.md identified as decisive (block-level culling only
 pays when a block's rays are spatially coherent):
@@ -58,7 +58,7 @@ def main() -> None:
     from raytracingweekend_jl_tpu.scene import trim_scene
     from raytracingweekend_jl_tpu.camera import get_rays
     from raytracingweekend_jl_tpu.render import pixel_coords
-    from raytracingweekend_jl_tpu.ops.pallas.grid_kernel import (
+    from raytracingweekend_jl_tpu.ops.pallas.experimental.grid_kernel import (
         build_grid, grid_sweep)
     from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import (
         _sweep, BLOCK_ROWS)

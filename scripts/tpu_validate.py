@@ -103,7 +103,6 @@ def main() -> None:
     # order in the flattened contraction (the CPU interpret suite proves the
     # same contract; this run proves the Mosaic 2D-grid compile + resident
     # carry windows on real hardware).
-    import os
     from raytracingweekend_jl_tpu.camera import get_rays
     from raytracingweekend_jl_tpu.render import pixel_coords
     from raytracingweekend_jl_tpu import rng as rngmod

@@ -180,9 +180,13 @@ from raytracingweekend_jl_tpu.ops.pallas.grad_kernel import (
     trace_recorded_fused_staged)
 
 
-def test_staged_single_stage_equals_unstaged():
+def test_staged_single_stage_equals_unstaged(monkeypatch):
     # stages=((0,1),) runs one full-width stage: same seeds, same widths,
-    # same draws => identical radiance AND gradients.
+    # same draws => identical radiance AND gradients. The staged bwd only
+    # has the per-bounce loop replay, so pin the unstaged side to the same
+    # mode (the fused whole-phase replay — default since round 4 — matches
+    # it only to f32 accumulation order).
+    monkeypatch.setenv("RTW_REPLAY_FUSED", "0")
     scene = mixed_scene()
     o, d, tk = rays_for(scene)
     a = np.asarray(trace_recorded_fused(scene, o, d, tk, 8, 1e-4, True))

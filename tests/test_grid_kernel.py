@@ -1,4 +1,4 @@
-"""Two-level cluster sweep prototype (ops/pallas/grid_kernel.py).
+"""Two-level cluster sweep prototype (ops/pallas/experimental/grid_kernel.py).
 
 Contract: winner-IDENTICAL to the flat sweep (the cluster bound test is
 conservative — a bounding sphere contains its members, so no true hit can
@@ -14,7 +14,7 @@ import raytracingweekend_jl_tpu as rtw
 from raytracingweekend_jl_tpu import rng as rngmod
 from raytracingweekend_jl_tpu.camera import get_rays
 from raytracingweekend_jl_tpu.ops.intersect import BIG
-from raytracingweekend_jl_tpu.ops.pallas.grid_kernel import (
+from raytracingweekend_jl_tpu.ops.pallas.experimental.grid_kernel import (
     build_grid, intersect_spheres_grid)
 from raytracingweekend_jl_tpu.ops.pallas.intersect_kernel import (
     intersect_spheres_pallas)

@@ -172,16 +172,8 @@ def test_dattr_contract_flip_matches_row_form():
     idx = jax.random.randint(key, (8192,), 0, n)
     d9 = jax.random.normal(jax.random.PRNGKey(4), (9, 8192), jnp.float32)
     planes = [d9[j] for j in range(9)]
-    old = os.environ.pop("RTW_ONEHOT_NOFLIP", None)
-    try:
-        flipped = np.asarray(gk._dattr_contract(planes, idx, n))
-        os.environ["RTW_ONEHOT_NOFLIP"] = "1"
-        rowform = np.asarray(gk._dattr_contract(planes, idx, n))
-    finally:
-        if old is None:
-            os.environ.pop("RTW_ONEHOT_NOFLIP", None)
-        else:
-            os.environ["RTW_ONEHOT_NOFLIP"] = old
+    flipped = np.asarray(gk._dattr_contract(planes, idx, n))
+    rowform = np.asarray(gk._dattr_contract_rowform(planes, idx, n))
     oracle = np.zeros((n, 9), np.float32)
     np.add.at(oracle, np.asarray(idx), np.asarray(d9).T)
     np.testing.assert_allclose(rowform, oracle, rtol=2e-5, atol=2e-5)

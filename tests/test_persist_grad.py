@@ -638,3 +638,35 @@ def test_persist_record_bytes_accounting():
     # Dropping the attr planes halves the dominant term.
     lean = persist_record_bytes(R, 8, None, (b1, wdiv), 16, rec_attrs=False)
     assert lean < 0.6 * tc
+
+
+def test_hwprng_branches_trace(monkeypatch):
+    """Abstractly trace (jax.eval_shape — no compile, no execute) the
+    HARDWARE-PRNG kernel branches that interpret-mode tests never enter.
+    Pallas traces kernel bodies at jaxpr-build time, so a Python-level
+    fault inside the hw_prng branch (the round-4 _BLOCK_SEED_STRIDE
+    NameError shipped exactly there) is caught on CPU without a TPU."""
+    scene = mixed_scene()
+    cam = default_camera()
+    u, v = pixel_coords(64, 36)
+    key = jax.random.PRNGKey(2)
+    o, d = get_rays(cam, u, v, rngmod.purpose_key(key, rngmod.LENS))
+    tk = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
+    params = (scene.center, scene.radius, scene.albedo)
+
+    def loss_for(**kw):
+        def loss(p):
+            sc = scene._replace(center=p[0], radius=p[1], albedo=p[2])
+            r = trace_recorded_persist(sc, o, d, tk, 6, 1e-4, 4, None,
+                                       False,  # interpret=False => hw PRNG
+                                       kw.get("fused_step", False),
+                                       kw.get("tail_compact"),
+                                       kw.get("rec_attrs", True))
+            return jnp.mean(r * r)
+        return loss
+
+    for env in ("0", "1"):  # loop replay and fused whole-phase replay
+        monkeypatch.setenv("RTW_REPLAY_FUSED", env)
+        for kw in ({}, {"tail_compact": (3, 2)}, {"rec_attrs": False},
+                   {"fused_step": True}):
+            jax.eval_shape(jax.grad(loss_for(**kw)), params)
