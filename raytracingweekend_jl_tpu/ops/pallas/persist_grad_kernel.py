@@ -1084,29 +1084,48 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     return radiance.astype(origin.dtype), res, dropped
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _strict_drop_poison(radiance, dropped, strict: bool):
+    """NaN-poison the radiance when ``strict`` and any path was dropped.
+
+    The drop warning (``_warn_dropped``) is a host callback the primary
+    platform cannot lower, so a silently-biased default was possible
+    (ADVICE r3, medium). Under ``strict`` the primal — and through its
+    cotangents every gradient — becomes NaN on the FIRST step instead,
+    which any consumer notices immediately (the grad tripwire names it).
+    Free when nothing is dropped; the auto-selected tail-compacted default
+    sets it (grad.resolve_grad_path), explicit user configs keep the
+    documented bias-low overflow contract."""
+    if not strict:
+        return radiance
+    poison = jnp.where(dropped > 0, jnp.float32(jnp.nan), jnp.float32(1.0))
+    return radiance * jax.lax.stop_gradient(poison).astype(radiance.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def trace_recorded_persist(scene, origin, direction, key,
                            max_depth: int = 16, tmin: float = 1e-4,
                            n_strips: int = 8, n_iters: int | None = None,
                            interpret: bool = False, fused_step: bool = False,
                            tail_compact: tuple | None = None,
-                           rec_attrs: bool = True):
+                           rec_attrs: bool = True, strict: bool = False):
     """Differentiable radiance ``[R, 3]`` — persistent-record kernel-pair
     trace. Forward streams (hardware PRNG, strip refill) differ from
     ``trace``; under ``value_and_grad`` the estimator is exact path replay.
     Rays past the iteration budget read black (overflow contract — see the
-    module docstring; use :func:`persist_dropped_paths` to audit).
+    module docstring; use :func:`persist_dropped_paths` to audit), unless
+    ``strict`` is set, in which case ANY dropped path NaN-poisons the
+    radiance (and therefore the loss and every gradient) — the loud-failure
+    mode the auto-selected default uses.
     ``rec_attrs=False`` halves the record footprint (11 slices instead of
     21) by refetching the winner attributes in replay from the recorded
     indices — bitwise the same gradients; slightly more replay compute.
     The pass loop auto-picks it when it avoids pass-level remat."""
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
-    radiance, _, _ = _persist_record_forward(scene, origin, direction, key,
-                                             max_depth, tmin, n_strips,
-                                             n_iters, interpret, fused_step,
-                                             tail_compact, rec_attrs)
-    return radiance
+    radiance, _, dropped = _persist_record_forward(
+        scene, origin, direction, key, max_depth, tmin, n_strips,
+        n_iters, interpret, fused_step, tail_compact, rec_attrs)
+    return _strict_drop_poison(radiance, dropped, strict)
 
 
 def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
@@ -1125,13 +1144,14 @@ def persist_dropped_paths(scene, origin, direction, key, max_depth=16,
 
 
 def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
-                 n_iters, interpret, fused_step, tail_compact, rec_attrs):
+                 n_iters, interpret, fused_step, tail_compact, rec_attrs,
+                 strict):
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
-    radiance, res, _ = _persist_record_forward(scene, origin, direction, key,
-                                               max_depth, tmin, n_strips,
-                                               n_iters, interpret, fused_step,
-                                               tail_compact, rec_attrs)
+    radiance, res, dropped = _persist_record_forward(
+        scene, origin, direction, key, max_depth, tmin, n_strips,
+        n_iters, interpret, fused_step, tail_compact, rec_attrs)
+    radiance = _strict_drop_poison(radiance, dropped, strict)
     return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
 
 
@@ -1309,7 +1329,9 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
 
 
 def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
-                 tail_compact, rec_attrs, residuals, g_rad):
+                 tail_compact, rec_attrs, strict, residuals, g_rad):
+    # strict only poisons the primal (_strict_drop_poison); with dropped
+    # paths the incoming cotangents are already NaN through the loss.
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
     scene, key, res, dtype_token = residuals

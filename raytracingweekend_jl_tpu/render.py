@@ -109,7 +109,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                     recorded_fused: bool = False,
                     fused_stages: tuple | None = None,
                     recorded_persist: tuple | None = None,
-                    remat_passes: bool = False) -> jnp.ndarray:
+                    remat_passes: bool = False,
+                    persist_strict: bool = False) -> jnp.ndarray:
     """Radiance *sum* ``[Rc,3]`` of ``n_samples`` samples for one pixel tile.
 
     The building block shared by the single-chip driver and the shard_map
@@ -234,7 +235,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 interp = jax.default_backend() == "cpu"
                 radiance = trace_recorded_persist(
                     scene, origin, direction, trace_key, max_depth, tmin,
-                    p_strips, p_iters, interp, False, p_tc, p_rec_attrs)
+                    p_strips, p_iters, interp, False, p_tc, p_rec_attrs,
+                    persist_strict)
             elif recorded_fused:
                 # Kernel-pair record/replay path (ops/pallas/grad_kernel.py):
                 # ONE Pallas kernel per bounce on each side. Forward draws
@@ -311,7 +313,8 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                                    "persistent", "fused_attrs", "remat_policy",
                                    "tile_skip", "recorded", "recorded_stage",
                                    "recorded_fused", "fused_stages",
-                                   "recorded_persist", "remat_passes"))
+                                   "recorded_persist", "remat_passes",
+                                   "persist_strict"))
 def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   key: jax.Array, n_samples: int, max_depth: int, tmin: float,
                   remat: bool, f32_w: float, f32_h: float,
@@ -325,13 +328,15 @@ def _render_chunk(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                   recorded_fused: bool = False,
                   fused_stages: tuple | None = None,
                   recorded_persist: tuple | None = None,
-                  remat_passes: bool = False) -> jnp.ndarray:
+                  remat_passes: bool = False,
+                  persist_strict: bool = False) -> jnp.ndarray:
     """Mean radiance ``[Rc,3]`` for one pixel chunk, all samples."""
     acc = render_tile_sum(scene, cam, u, v, key, n_samples, 0, max_depth,
                           tmin, remat, f32_w, f32_h, compact, samples_per_pass,
                           persistent, pixel_start, fused_attrs, remat_policy,
                           tile_skip, recorded, recorded_stage, recorded_fused,
-                          fused_stages, recorded_persist, remat_passes)
+                          fused_stages, recorded_persist, remat_passes,
+                          persist_strict)
     return acc / n_samples
 
 
@@ -350,7 +355,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                     recorded_fused: bool = False,
                     fused_stages: tuple | None = None,
                     recorded_persist: tuple | None = None,
-                    remat_passes: bool = False) -> jnp.ndarray:
+                    remat_passes: bool = False,
+                    persist_strict: bool = False) -> jnp.ndarray:
     """Linear mean radiance ``[H,W,3]`` (no gamma). Differentiable w.r.t. ``scene``.
 
     ``dtype`` (the reference's ``elem_type`` switch) defaults to the camera's
@@ -384,7 +390,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                             recorded_fused=recorded_fused,
                             fused_stages=fused_stages,
                             recorded_persist=recorded_persist,
-                            remat_passes=remat_passes)
+                            remat_passes=remat_passes,
+                            persist_strict=persist_strict)
     else:
         # Pad to a chunk multiple so every chunk compiles to the same program.
         n_chunks = -(-n_pix // pixel_chunk)
@@ -407,7 +414,8 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
                 recorded_fused=recorded_fused,
                 fused_stages=fused_stages,
                 recorded_persist=recorded_persist,
-                remat_passes=remat_passes))
+                remat_passes=remat_passes,
+                persist_strict=persist_strict))
         out = jnp.concatenate(pieces, axis=0)[:n_pix]
     return out.reshape(H, W, 3)
 

@@ -40,6 +40,9 @@ def main() -> None:
                     help="run only this config name (fresh-process isolation:"
                          " a device left RESOURCE_EXHAUSTED by one config "
                          "poisons every later one in the same process)")
+    ap.add_argument("--canary", action="store_true",
+                    help="run the once-per-session twin-AD corruption canary "
+                         "(recorded vs remat on a small config) and exit")
     args = ap.parse_args()
 
     from raytracingweekend_jl_tpu.utils.cache import enable_compilation_cache
@@ -56,6 +59,22 @@ def main() -> None:
     spp = args.spp
     scene = rtw.scene_random_spheres(seed=1)
     cam = rtw.t_cam1()
+
+    if args.canary:
+        # Once-per-session corruption canary (VERDICT r3 weak #3): the
+        # recorded kernel pair and the remat XLA transpose must agree on a
+        # small config up to MC noise. Raises (exit 3) on corruption.
+        from raytracingweekend_jl_tpu.grad import (GradSanityError,
+                                                   twin_ad_canary)
+        try:
+            twin_ad_canary(scene, cam, width=256, n_samples=8)
+        except GradSanityError as e:
+            print(json.dumps({"canary": "FAIL", "error": str(e)[:300]}),
+                  flush=True)
+            sys.exit(3)
+        print(json.dumps({"canary": "PASS", "width": 256, "spp": 8,
+                          "device": str(jax.devices()[0])}), flush=True)
+        return
 
     # Fixed target: the forward render the loss compares against (kept on
     # device; not part of the timed region).
@@ -240,6 +259,11 @@ def main() -> None:
             loss, grads = step(p0, jnp.int32(8))
             g1 = float(np.asarray(grads.albedo).sum())
             steady_s = time.time() - t0
+            # Sanity tripwire: a corrupted row (non-finite / blown
+            # magnitude) must FAIL the run, not sit in the JSONL.
+            from raytracingweekend_jl_tpu.grad import (GradSanityError,
+                                                       check_grads_sane)
+            check_grads_sane(grads, loss)
             rec = {"ts": time.time(),
                    "label": f"grad_step_{name}_{W}x{H}x{spp}",
                    "wall_s": round(steady_s, 3), "paths": paths,
@@ -258,6 +282,8 @@ def main() -> None:
                 os.environ[k] = v
         append_history(rec, hist_path)
         print(json.dumps(rec), flush=True)
+        if "GradSanityError" in rec.get("error", ""):
+            sys.exit(3)  # corrupted gradients: fail the whole run loudly
 
 
 if __name__ == "__main__":

@@ -16,3 +16,76 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+#: Tests measured >4.5 s on the CPU backend (full-suite --durations run,
+#: round 4: 613 s total for 242 tests). The default profile (pyproject
+#: addopts -m "not slow") skips them for a <5-minute iteration loop; CI and
+#: pre-release runs use the FULL suite: pytest -m "slow or not slow".
+#: Two cheap sentinels stay fast on purpose so the default profile still
+#: exercises a kernel-pair forward and an FD gradient check:
+#: test_persist_forward_matches_twin, test_grad_albedo_matches_fd.
+SLOW_TESTS = {
+    "test_elastic_survives_persistent_device_fault",
+    "test_persist_rec_attrs_off_bitwise_equal",
+    "test_remat_passes_auto_and_fd",
+    "test_persist_vjp_matches_twin_autodiff",
+    "test_persist_replay_fused_matches_loop",
+    "test_elastic_concurrent_scaling_and_bitwise_invariance",
+    "test_strided_k_exceeds_pixels_per_lane_budget",
+    "test_persist_tail_compact_matches_twin",
+    "test_persist_tail_compact_nonaligned_rows",
+    "test_persist_multistrip_forward_and_vjp",
+    "test_two_process_distributed_render_and_train",
+    "test_elastic_transient_fault_retries_in_place",
+    "test_sharded_train_step_runs_and_reduces",
+    "test_fused_vjp_matches_twin_autodiff",
+    "test_twin_ad_canary_agrees",
+    "test_staged_fd_self_consistency_albedo",
+    "test_fit_scene_descends_and_recovers",
+    "test_strided_k_invariance",
+    "test_sharded_train_step_fused_grad_mode",
+    "test_staged_radiance_statistical",
+    "test_recorded_matches_remat_gradients",
+    "test_persist_mat_and_key_not_differentiated",
+    "test_staged_vjp_matches_twin_autodiff",
+    "test_strided_sample_offset_chunking",
+    "test_elastic_clean_run_matches_plain",
+    "test_grad_recorded_staged_matches_fd",
+    "test_sharded_persistent_strided_dispatch",
+    "test_fit_scene_scan_descends",
+    "test_fused_forward_matches_twin",
+    "test_persist_overflow_contract",
+    "test_strided_sample_groups_equivalence",
+    "test_fused_mat_and_key_not_differentiated",
+    "test_hwprng_branches_trace",
+    "test_fused_diffuse_statistical",
+    "test_strided_statistical",
+    "test_staged_single_stage_equals_unstaged",
+    "test_strided_pixel_start_tiles_match_full",
+    "test_fused_mirror_exact",
+    "test_strided_pixel_start_statistical_multisample",
+    "test_inline_sample_chunking_statistical",
+    "test_mega_statistical",
+    "test_fused_glass_energy",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Full-suite runs (232+ tests, one process) reproducibly segfault the
+    XLA CPU compiler around the ~136th test (backend_compile_and_load, both
+    round-4 attempts, same site) while every half-prefix passes — an
+    accumulation failure, not a specific-test bug. Dropping the compiled-
+    program caches between modules keeps the per-process compiler state
+    bounded; per-module recompiles cost little since tests rarely share
+    programs across files."""
+    yield
+    jax.clear_caches()

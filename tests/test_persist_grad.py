@@ -168,6 +168,39 @@ def test_persist_overflow_contract():
     assert np.isfinite(np.asarray(g.albedo)).all()
 
 
+def test_persist_strict_poisons_on_drop():
+    # strict=True: ANY dropped path must NaN the primal — and through the
+    # loss cotangents every gradient — instead of silently biasing low
+    # (the auto-selected tail-compacted default runs strict; ADVICE r3).
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    starved = np.asarray(trace_recorded_persist(
+        scene, o, d, tk, DEPTH, 1e-4, S, 3, True, False, None, True, True))
+    assert np.isnan(starved).all()
+    # Gradients through a strict starved program are NaN (loud), not biased.
+    g = jax.grad(lambda sc: jnp.mean(trace_recorded_persist(
+        sc, o, d, tk, DEPTH, 1e-4, S, 3, True, False, None, True,
+        True) ** 2), allow_int=True)(scene)
+    assert np.isnan(np.asarray(g.albedo)).all()
+    # Zero drops: strict is bitwise-free.
+    ok_strict = np.asarray(trace_recorded_persist(
+        scene, o, d, tk, DEPTH, 1e-4, S, None, True, False, None, True, True))
+    ok_plain = np.asarray(trace_recorded_persist(
+        scene, o, d, tk, DEPTH, 1e-4, S, None, True))
+    np.testing.assert_array_equal(ok_strict, ok_plain)
+
+
+def test_resolve_grad_path_sets_strict_on_auto_default():
+    from raytracingweekend_jl_tpu.grad import resolve_grad_path
+    kw = resolve_grad_path({}, 1 << 21, "tpu")
+    assert kw["recorded_persist"] == (8, None, (44, 16))
+    assert kw["persist_strict"] is True
+    # Explicit configs keep the documented bias-low overflow contract.
+    kw2 = resolve_grad_path({"recorded_persist": (8, None, (44, 16))},
+                            1 << 21, "tpu")
+    assert "persist_strict" not in kw2
+
+
 def test_persist_vjp_matches_twin_autodiff():
     scene = mixed_scene()
     o, d, tk = rays_for(scene)
@@ -529,11 +562,15 @@ def test_persist_tail_compact_nonaligned_rows():
     np.testing.assert_allclose(g_ad, g_fd, rtol=3e-2, atol=1e-6)
 
 
-def test_persist_rec_attrs_off_bitwise_equal():
+def test_persist_rec_attrs_off_bitwise_equal(monkeypatch):
     """rec_attrs=False (11-slice record, replay refetches winner attributes
     from the recorded indices) must reproduce the default path's loss AND
     gradients bitwise — the refetch is the identical gather the record
-    phase used. Covers both the plain and tail-compacted drivers."""
+    phase used. Covers both the plain and tail-compacted drivers. Pin the
+    loop replay on both sides: the fused whole-phase replay (default since
+    round 4) requires the 21-slice record, so the lean side falls back to
+    the loop and the two would differ by f32 accumulation order."""
+    monkeypatch.setenv("RTW_REPLAY_FUSED", "0")
     scene = mixed_scene()
     o, d, tk = rays_for(scene)
 
