@@ -75,7 +75,8 @@ def scene_blue_red_spheres(dtype=jnp.float32) -> Scene:
     ], dtype=dtype)
 
 
-def scene_random_spheres(seed: int = 1, dtype=jnp.float32) -> Scene:
+def scene_random_spheres(seed: int = 1, dtype=jnp.float32,
+                         grid_half: int = 11) -> Scene:
     """Book-1 final scene: ground + 22×22 grid of random small spheres + 3 hero
     spheres, ~480 spheres total (reference: src/scenes.jl:49-84).
 
@@ -84,12 +85,17 @@ def scene_random_spheres(seed: int = 1, dtype=jnp.float32) -> Scene:
     [0.5,1] and fuzz in [0,5] (reference quirk, src/scenes.jl:70), else glass;
     grid cells whose jittered center lands within 0.9 of (4, 0.2, 0) are
     skipped (src/scenes.jl:61).
+
+    ``grid_half`` shrinks the grid to ``(2*grid_half)²`` cells (default 11 =
+    the reference's -11:10 loops) — e.g. ``grid_half=3`` gives a ~36-small-
+    sphere scene for inverse-rendering demos where every sphere must be
+    visibly resolvable at demo resolution.
     """
     g = np.random.default_rng(seed)
     spheres = [lambertian((0, -1000, -1), 1000.0, (0.5, 0.5, 0.5))]
 
-    for a in range(-11, 11):
-        for b in range(-11, 11):
+    for a in range(-grid_half, grid_half):
+        for b in range(-grid_half, grid_half):
             choose_mat = g.random()
             center = np.array([a + 0.9 * g.random(), 0.2, b + 0.9 * g.random()])
             if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) < 0.9:

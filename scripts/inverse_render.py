@@ -31,6 +31,12 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="4_spheres")
+    ap.add_argument("--grid-half", type=int, default=None,
+                    help="for --scene random_spheres: shrink the sphere "
+                         "grid to (2N)^2 cells (e.g. 3 -> ~40 spheres)")
+    ap.add_argument("--cam", default=None, choices=["default", "cam1"],
+                    help="camera (default: cam1 for random_spheres, "
+                         "else the default camera)")
     ap.add_argument("--width", type=int, default=200)
     ap.add_argument("--height", type=int, default=112)
     ap.add_argument("--spp", type=int, default=8)
@@ -71,8 +77,13 @@ def main() -> None:
 
     on_tpu = jax.default_backend() != "cpu"
     W, H, spp = args.width, args.height, args.spp
-    scene_true = rtw.ALL_SCENES[args.scene]()
-    cam = rtw.t_default_cam()
+    if args.scene == "random_spheres" and args.grid_half is not None:
+        scene_true = rtw.scene_random_spheres(grid_half=args.grid_half)
+    else:
+        scene_true = rtw.ALL_SCENES[args.scene]()
+    cam_name = args.cam or ("cam1" if args.scene == "random_spheres"
+                            else "default")
+    cam = rtw.t_cam1() if cam_name == "cam1" else rtw.t_default_cam()
 
     # Target: the TRUE scene rendered with the SAME estimator configuration
     # the optimization uses (fixed key -> deterministic loss surface).
@@ -163,7 +174,9 @@ def main() -> None:
     steady = sorted(l for l in losses)  # noqa: E741
     mean_step_s = (time.time() - t_all0) / args.steps
     rec = {"ts": time.time(),
-           "label": (f"inverse_{args.scene}_{W}x{H}x{spp}_{args.steps}steps"
+           "label": (f"inverse_{args.scene}"
+                     + (f"_g{args.grid_half}" if args.grid_half else "")
+                     + f"_{W}x{H}x{spp}_{args.steps}steps"
                      + ("_scan" if args.scan else "")),
            "loss_init": round(losses[0], 6), "loss_final": round(losses[-1], 6),
            "loss_min": round(steady[0], 6),
