@@ -114,6 +114,20 @@ def test_random_spheres_scene_shape():
     assert scene.n_spheres % 128 == 0
 
 
+def test_random_spheres_grid_half():
+    # grid_half shrinks the grid; the default (11) is bit-identical to the
+    # unparameterized builder (same RNG consumption order).
+    small = scene_random_spheres(seed=1, grid_half=3)
+    n_small = int(np.sum(np.asarray(small.radius) != 0))
+    assert 30 <= n_small <= 44  # 6x6 cells + ground + 3 heroes, minus skips
+    full_a = scene_random_spheres(seed=1)
+    full_b = scene_random_spheres(seed=1, grid_half=11)
+    np.testing.assert_array_equal(np.asarray(full_a.center),
+                                  np.asarray(full_b.center))
+    img = np.asarray(render(small, t_cam1(), 64, 1, seed=0))
+    assert np.isfinite(img).all()
+
+
 def test_hollow_glass_renders():
     from raytracingweekend_jl_tpu import scene_diel_spheres_hollow
     img = np.asarray(render(scene_diel_spheres_hollow(), hollow_glass_cam(), 96, 8))
