@@ -65,6 +65,15 @@ from .intersect_kernel import LANES, _pad_rows
 from .shade_kernel import _shade_core, _uniforms, SHADE_ROWS
 
 
+#: Slots per dattr-contraction dot in the fused replay (see
+#: _run_replay_phase_fused). Read ONCE at import so the value is fixed for
+#: every trace in the process (a trace-time env read would silently ignore
+#: mid-process toggles — ADVICE r3); A/B via RTW_DATTR_GROUP in a fresh
+#: process. Default from the round-4 on-device A/B (grad_bench
+#: ``default_auto`` vs ``dattrg1``/``dattrg16`` rows).
+_DATTR_GROUP = int(os.environ.get("RTW_DATTR_GROUP", "8"))
+
+
 def _persist_block_rows(n_strips: int) -> int:
     """Block rows for the persistent kernels: the tuned 64 up to S=8;
     S>=16 carries too many strip/rad planes for 64-row blocks (a
@@ -1224,17 +1233,29 @@ def _run_replay_phase_fused(scene, key, seed, rec, rec_idx, counts,
         cot, dep, rec, grad_strips, i0, seed, S, interpret=interpret,
         u5_all=u5_all)
 
-    # Contract slot by slot (lax.scan inside the same jitted program):
-    # a single flattened dot would fuse its one-hot operand at
-    # [n_slots * W, n] — ~11 GB of bf16 at flagship scale — while the
-    # per-slot peak matches the loop replay's (~256 MB).
-    def one_slot(g, slot):
-        d9 = [jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
-              .reshape(-1) for p in dattr_all]
-        return g + _dattr_contract(d9, rec_idx[slot], scene.n_spheres), None
+    # Contract in static G-slot groups: per-sphere cotangents are SUMMED
+    # over slots, so G slots share one dot along the K axis ([27, G*W] @
+    # [G*W, n]) — G-fold fewer dot dispatches and one-hot fusions than the
+    # per-slot scan, with peak one-hot working set bounded at G x the
+    # per-slot one (a single flattened dot over all ~74-128 slots would put
+    # ~11 GB of bf16 behind one fusion at flagship scale). G=1 recovers the
+    # scan exactly; group order only changes f32 accumulation order
+    # (last-ulp, same contract as _dattr_contract's flipped form).
+    G = max(_DATTR_GROUP, 1)
+    if G == 1:
+        def one_slot(g, slot):
+            d9 = [jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
+                  .reshape(-1) for p in dattr_all]
+            return (g + _dattr_contract(d9, rec_idx[slot], scene.n_spheres),
+                    None)
 
-    g_attr, _ = jax.lax.scan(one_slot, g_attr,
-                             jnp.arange(n_slots, dtype=jnp.int32))
+        g_attr, _ = jax.lax.scan(one_slot, g_attr,
+                                 jnp.arange(n_slots, dtype=jnp.int32))
+        return cot, dep, g_attr
+    for s0 in range(0, n_slots, G):
+        d9 = [p[s0:s0 + G].reshape(-1) for p in dattr_all]
+        idxg = rec_idx[s0:s0 + G].reshape(-1)
+        g_attr = g_attr + _dattr_contract(d9, idxg, scene.n_spheres)
     return cot, dep, g_attr
 
 

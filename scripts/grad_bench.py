@@ -173,6 +173,11 @@ def main() -> None:
         ("persist_s8_tc44_auto",
          dict(remat=False, recorded=True,
               recorded_persist=(8, None, (44, 16)))),
+        # Earlier /16 boundaries were DISQUALIFIED by the round-4 drop audit
+        # (scripts/tc_audit.py, tc_audit_worst row): boundary 40 drops 4787
+        # paths and 36 drops ~32k at flagship occupancy — (44, 16) is the
+        # earliest exact /16 boundary. No configs to bench; exactness is
+        # the contract.
         ("persist_s12_tc64_auto",
          dict(remat=False, recorded=True,
               recorded_persist=(12, None, (64, 16)))),

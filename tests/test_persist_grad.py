@@ -630,6 +630,40 @@ def test_persist_replay_fused_matches_loop(monkeypatch):
                 err_msg=f"{f} n_strips={n_strips} tc={tc}")
 
 
+def test_persist_dattr_group_remainder(monkeypatch):
+    """The grouped dattr contraction (static G-slot dots) must equal the
+    per-slot scan for a G that does NOT divide the slot count — the final
+    short group exercises the Python-slice remainder path. Same math,
+    different f32 accumulation order -> tight allclose."""
+    from raytracingweekend_jl_tpu.ops.pallas import persist_grad_kernel as pgk
+    scene = mixed_scene()
+    o, d, tk = rays_for(scene)
+    g_out = jax.random.normal(jax.random.PRNGKey(5), (o.shape[0], 3),
+                              jnp.float32)
+    monkeypatch.setenv("RTW_REPLAY_FUSED", "1")
+
+    def loss(sc, oo, dd):
+        r = trace_recorded_persist(sc, oo, dd, tk, DEPTH, 1e-4,
+                                   S, None, True)
+        return jnp.vdot(r, g_out)
+
+    grads = {}
+    for G in (1, 3):
+        monkeypatch.setattr(pgk, "_DATTR_GROUP", G)
+        jax.clear_caches()
+        _, (gs, _, _) = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                           allow_int=True)(scene, o, d)
+        grads[G] = gs
+    n_slots = default_n_iters(S, DEPTH)
+    assert n_slots % 3 != 0, "pick a non-dividing G for this test"
+    for f in ("center", "radius", "albedo", "fuzz", "ir"):
+        a = np.asarray(getattr(grads[1], f))
+        b = np.asarray(getattr(grads[3], f))
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=1e-6 + 1e-5 * scale,
+                                   err_msg=f)
+
+
 def test_persist_replay_fused_lean_falls_back(monkeypatch):
     """rec_attrs=False has no 21-slice record; the fused switch must fall
     back to the loop replay and stay bitwise-equal to the default."""
