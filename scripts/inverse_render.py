@@ -94,17 +94,24 @@ def main() -> None:
 
     # Perturb centers (not the ground plane — index 0 by convention has the
     # big ground sphere in these scenes; moving it underfoot is not the demo)
-    # and darken/shift albedos.
+    # and darken/shift albedos. Dielectric albedo is structurally
+    # UNIDENTIFIABLE — shading uses exactly (1,1,1) for glass (reference:
+    # src/material.jl:42) — so it is neither perturbed nor scored: a
+    # parameter with zero gradient everywhere would sit at its perturbed
+    # value forever and poison the recovery metric without meaning.
+    from raytracingweekend_jl_tpu.scene import DIELECTRIC
     k = jax.random.PRNGKey(7)
     r = np.asarray(scene_true.radius)
     movable = (r != 0) & (np.abs(r) < 10.0)  # spheres, not the ground
+    albedo_scored = movable & (np.asarray(scene_true.mat) != DIELECTRIC)
     jit = np.array(jax.random.uniform(
         k, scene_true.center.shape, minval=-args.center_jitter,
         maxval=args.center_jitter))
     jit[~movable] = 0.0
     center0 = jnp.asarray(np.asarray(scene_true.center) + jit)
     alb = np.asarray(scene_true.albedo).copy()
-    alb[movable] = np.clip(alb[movable] * args.albedo_scale + 0.15, 0, 1)
+    alb[albedo_scored] = np.clip(
+        alb[albedo_scored] * args.albedo_scale + 0.15, 0, 1)
     scene0 = scene_true._replace(center=center0, albedo=jnp.asarray(alb))
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -162,15 +169,19 @@ def main() -> None:
     save(render_radiance(scene_fit, cam, W, spp, image_height=H,
                          seed=args.seed, **tkw), "final.png")
 
-    # Parameter-space recovery (what the loss can see for visible spheres).
-    c_err0 = float(np.abs(np.asarray(scene0.center - scene_true.center))
-                   [movable].max())
-    c_err1 = float(np.abs(np.asarray(scene_fit.center - scene_true.center))
-                   [movable].max())
-    a_err0 = float(np.abs(np.asarray(scene0.albedo - scene_true.albedo))
-                   [movable].max())
-    a_err1 = float(np.abs(np.asarray(scene_fit.albedo - scene_true.albedo))
-                   [movable].max())
+    # Parameter-space recovery. Albedo is scored only where it is
+    # identifiable (non-dielectric movables — glass shading ignores albedo).
+    # max = worst sphere (tiny/occluded spheres are weakly constrained at
+    # demo resolution); mean = the honest aggregate.
+    def errs(a, b, mask):
+        e = np.abs(np.asarray(a - b))[mask]
+        return float(e.max()), float(e.mean())
+
+    c_err0, c_mean0 = errs(scene0.center, scene_true.center, movable)
+    c_err1, c_mean1 = errs(scene_fit.center, scene_true.center, movable)
+    a_err0, a_mean0 = errs(scene0.albedo, scene_true.albedo, albedo_scored)
+    a_err1, a_mean1 = errs(scene_fit.albedo, scene_true.albedo,
+                           albedo_scored)
     steady = sorted(l for l in losses)  # noqa: E741
     mean_step_s = (time.time() - t_all0) / args.steps
     rec = {"ts": time.time(),
@@ -182,8 +193,13 @@ def main() -> None:
            "loss_min": round(steady[0], 6),
            "center_err_init": round(c_err0, 4),
            "center_err_final": round(c_err1, 4),
+           "center_mean_err_init": round(c_mean0, 4),
+           "center_mean_err_final": round(c_mean1, 4),
            "albedo_err_init": round(a_err0, 4),
            "albedo_err_final": round(a_err1, 4),
+           "albedo_mean_err_init": round(a_mean0, 4),
+           "albedo_mean_err_final": round(a_mean1, 4),
+           "n_movable": int(movable.sum()),
            "mean_step_s": round(mean_step_s, 3), "paths": paths,
            "mpaths_per_s": round(paths / mean_step_s / 1e6, 3),
            "device": str(jax.devices()[0])}
