@@ -236,7 +236,16 @@ def main() -> None:
     from raytracingweekend_jl_tpu.grad import (render_loss, _params_of,
                                                _with_params)
 
+    # Ambient env A/B knobs must not masquerade as the default config's
+    # label — a control run would displace the real default as the "latest
+    # row per label" (bench.py's grad headline picks exactly that).
+    _knobs = "".join(f"_{k.lower().replace('rtw_', '')}{os.environ[k]}"
+                     for k in ("RTW_DATTR_GROUP", "RTW_REPLAY_FUSED",
+                               "RTW_PERSIST_BLOCK_ROWS")
+                     if k in os.environ)
+
     for name, kw in configs:
+        name = name + _knobs
         remat = kw.pop("remat")
         # Config-scoped env (read at trace time); restored after the config
         # so a full sweep doesn't leak it into later configs' traces.
