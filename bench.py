@@ -104,17 +104,26 @@ def _attach_grad_headline(rec: dict) -> None:
                     continue
                 lbl = str(r.get("label", ""))
                 # LATEST row per config label (history keeps superseded
-                # variants), flagship 1spp workload only; "_itNN"
-                # budget-starved probes drop paths (biased) — excluded.
+                # variants), flagship workloads only; "_itNN" budget-starved
+                # probes drop paths (biased) — excluded, as are env-knob
+                # control runs (labels carry a _dattrgroup/_replayfused/...
+                # suffix since round 4).
                 if lbl.startswith("grad_step_") and "error" not in r \
-                        and lbl.endswith("_1920x1080x1") \
-                        and "_it" not in lbl:
+                        and (lbl.endswith("_1920x1080x1")
+                             or lbl.endswith("_1920x1080x4")) \
+                        and "_it" not in lbl and "group" not in lbl \
+                        and "replayfused" not in lbl:
                     if r.get("ts", 0) >= latest.get(lbl, (0, 0))[0]:
                         latest[lbl] = (r.get("ts", 0),
                                        float(r.get("mpaths_per_s", 0.0)))
-        if latest:
-            rec["grad_step_mpaths_per_s"] = round(
-                max(v for _, v in latest.values()), 3)
+        spp1 = [v for (lbl, (_, v)) in latest.items()
+                if lbl.endswith("_1920x1080x1")]
+        spp4 = [v for (lbl, (_, v)) in latest.items()
+                if lbl.endswith("_1920x1080x4")]
+        if spp1:
+            rec["grad_step_mpaths_per_s"] = round(max(spp1), 3)
+        if spp4:
+            rec["grad_step_spp4_mpaths_per_s"] = round(max(spp4), 3)
     except OSError:
         pass
 
