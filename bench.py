@@ -113,17 +113,26 @@ def _attach_grad_headline(rec: dict) -> None:
                              or lbl.endswith("_1920x1080x4")) \
                         and "_it" not in lbl and "group" not in lbl \
                         and "replayfused" not in lbl:
-                    if r.get("ts", 0) >= latest.get(lbl, (0, 0))[0]:
+                    if r.get("ts", 0) >= latest.get(lbl, (0, 0, 0))[0]:
                         latest[lbl] = (r.get("ts", 0),
-                                       float(r.get("mpaths_per_s", 0.0)))
-        spp1 = [v for (lbl, (_, v)) in latest.items()
+                                       float(r.get("mpaths_per_s", 0.0)),
+                                       float(r.get("device_mpaths_per_s",
+                                                   0.0)))
+        spp1 = [(v, dv) for (lbl, (_, v, dv)) in latest.items()
                 if lbl.endswith("_1920x1080x1")]
-        spp4 = [v for (lbl, (_, v)) in latest.items()
+        spp4 = [(v, dv) for (lbl, (_, v, dv)) in latest.items()
                 if lbl.endswith("_1920x1080x4")]
         if spp1:
-            rec["grad_step_mpaths_per_s"] = round(max(spp1), 3)
+            rec["grad_step_mpaths_per_s"] = round(max(v for v, _ in spp1), 3)
+            best_dev = max(dv for _, dv in spp1)
+            if best_dev:
+                # In-dispatch slope (pure device time; wall pays the
+                # tunnel's fixed ~15-30 ms RTT that in-process baselines
+                # don't) — config_bench's device_iter_s methodology.
+                rec["grad_step_device_mpaths_per_s"] = round(best_dev, 3)
         if spp4:
-            rec["grad_step_spp4_mpaths_per_s"] = round(max(spp4), 3)
+            rec["grad_step_spp4_mpaths_per_s"] = round(
+                max(v for v, _ in spp4), 3)
     except OSError:
         pass
 

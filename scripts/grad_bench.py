@@ -278,6 +278,42 @@ def main() -> None:
             from raytracingweekend_jl_tpu.grad import (GradSanityError,
                                                        check_grads_sane)
             check_grads_sane(grads, loss)
+
+            # DEVICE per-step time via the in-dispatch slope (config_bench's
+            # device_iter_s methodology): wall includes the tunnel's fixed
+            # ~15-30 ms dispatch+fetch RTT, which real training amortizes
+            # (fit_scene_scan) and which an xprof trace confirmed is NOT
+            # device time (record fwd: 94 ms wall vs 64.9 ms device). Scan
+            # K steps over distinct seeds inside one program; slope
+            # (t_2K - t_K)/K is pure device time per step.
+            def stepk(params, k):
+                def body(c, seed):
+                    l, g = jax.value_and_grad(f)(params, seed)
+                    s = l + sum(jnp.sum(v) for v in
+                                jax.tree.leaves(g)
+                                if jnp.issubdtype(v.dtype, jnp.floating))
+                    return c + s, None
+                out, _ = jax.lax.scan(
+                    body, jnp.float32(0),
+                    jnp.arange(10, 10 + k, dtype=jnp.int32))
+                return out
+
+            device_step_s = None
+            try:
+                k1, k2 = 2, 4
+                f1 = jax.jit(stepk, static_argnums=1)
+                float(f1(p0, k1))
+                t0 = time.time()
+                float(f1(p0, k1))
+                ta = time.time() - t0
+                float(f1(p0, k2))
+                t0 = time.time()
+                float(f1(p0, k2))
+                tb = time.time() - t0
+                device_step_s = max(tb - ta, 1e-9) / (k2 - k1)
+            except Exception:  # noqa: BLE001 — OOM at K steps: skip field
+                pass
+
             rec = {"ts": time.time(),
                    "label": f"grad_step_{name}_{W}x{H}x{spp}",
                    "wall_s": round(steady_s, 3), "paths": paths,
@@ -285,6 +321,10 @@ def main() -> None:
                    "loss": float(loss), "grad_albedo_sum": g1,
                    "warm_s": round(warm_s, 1),
                    "device": str(jax.devices()[0])}
+            if device_step_s is not None:
+                rec["device_step_s"] = round(device_step_s, 4)
+                rec["device_mpaths_per_s"] = round(
+                    paths / device_step_s / 1e6, 3)
         except Exception as e:  # noqa: BLE001 — OOM/compile faults per config
             rec = {"ts": time.time(),
                    "label": f"grad_step_{name}_{W}x{H}x{spp}",
