@@ -108,11 +108,12 @@ def _attach_grad_headline(rec: dict) -> None:
                 # probes drop paths (biased) — excluded, as are env-knob
                 # control runs (labels carry a _dattrgroup/_replayfused/...
                 # suffix since round 4).
+                knob = ("dattr_group", "replay_fused", "persist_block_rows")
                 if lbl.startswith("grad_step_") and "error" not in r \
                         and (lbl.endswith("_1920x1080x1")
                              or lbl.endswith("_1920x1080x4")) \
-                        and "_it" not in lbl and "group" not in lbl \
-                        and "replayfused" not in lbl:
+                        and "_it" not in lbl \
+                        and not any(k in lbl for k in knob):
                     if r.get("ts", 0) >= latest.get(lbl, (0, 0, 0))[0]:
                         latest[lbl] = (r.get("ts", 0),
                                        float(r.get("mpaths_per_s", 0.0)),
@@ -251,6 +252,10 @@ def main() -> None:
         time.sleep(0.5)
     if proc.poll() is None:
         proc.kill()
+        # Drain events the child wrote before the kill (a chunk line may
+        # still sit in the pipe buffer — losing it would report value 0
+        # despite a real measurement).
+        t.join(timeout=1)
     else:
         t.join(timeout=5)
         if proc.returncode != 0 and not col.chunk_times:

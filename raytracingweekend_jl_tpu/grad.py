@@ -381,7 +381,7 @@ def twin_ad_canary(scene: Scene, cam: Camera, width: int = 256,
     ts-1787002624 incident blew the norm by ~6 orders of magnitude).
     Raises :class:`GradSanityError` on disagreement."""
     import numpy as np
-    from .render import image_height_for, render_radiance
+    from .render import render_radiance
     target = render_radiance(scene, cam, width, 1, seed=123)
     bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
     _, g_rec = render_grads(bad, cam, target, width, n_samples, seed=5,

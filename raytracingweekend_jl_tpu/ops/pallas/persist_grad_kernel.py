@@ -1161,7 +1161,8 @@ def _persist_fwd(scene, origin, direction, key, max_depth, tmin, n_strips,
         scene, origin, direction, key, max_depth, tmin, n_strips,
         n_iters, interpret, fused_step, tail_compact, rec_attrs)
     radiance = _strict_drop_poison(radiance, dropped, strict)
-    return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype))
+    return radiance, (scene, key, res, jnp.zeros((0,), origin.dtype),
+                      dropped)
 
 
 def _run_replay_phase(scene, key, seed, rec, rec_idx, counts, grad_strips,
@@ -1351,11 +1352,9 @@ def _persist_bwd_impl(scene, key, res, g_rad, max_depth,
 
 def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
                  tail_compact, rec_attrs, strict, residuals, g_rad):
-    # strict only poisons the primal (_strict_drop_poison); with dropped
-    # paths the incoming cotangents are already NaN through the loss.
     if n_iters is None:
         n_iters = default_n_iters(n_strips, max_depth)
-    scene, key, res, dtype_token = residuals
+    scene, key, res, dtype_token, dropped = residuals
     R, dtype = g_rad.shape[0], dtype_token.dtype
     g_attr, g_org, g_dir = _persist_bwd_impl(scene, key, res,
                                              g_rad.astype(jnp.float32),
@@ -1363,6 +1362,17 @@ def _persist_bwd(max_depth, tmin, n_strips, n_iters, interpret, fused_step,
                                              n_iters, interpret, R=R,
                                              tail_compact=tail_compact,
                                              replay_fused=_replay_fused_default())
+    if strict:
+        # Poison the OUTPUT cotangents too: the primal poison alone does
+        # not reach gradients when the loss is linear in radiance (the
+        # incoming g_rad is then a finite constant and jax.grad discards
+        # the NaN primal), which would silently train on biased gradients
+        # — the exact failure strict exists to prevent.
+        poison = jnp.where(dropped > 0, jnp.float32(jnp.nan),
+                           jnp.float32(1.0))
+        g_attr = g_attr * poison
+        g_org = g_org * poison
+        g_dir = g_dir * poison
     g_scene = scene._replace(
         center=g_attr[:, 0:3].astype(scene.center.dtype),
         radius=g_attr[:, 3].astype(scene.radius.dtype),

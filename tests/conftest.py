@@ -73,8 +73,19 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    # Tests requested explicitly by node ID must RUN even under the default
+    # `-m "not slow"` profile — otherwise `pytest tests/x.py::test_slow`
+    # reports "1 deselected" and exits green without running anything
+    # (round-4 review finding). Skip marking exactly those.
+    explicit = {a.replace(os.sep, "/") for a in config.args if "::" in a}
+
+    def explicitly_requested(item):
+        nid = item.nodeid
+        return any(nid == e or nid.startswith(e + "[") for e in explicit)
+
     for item in items:
-        if item.name.split("[")[0] in SLOW_TESTS:
+        if item.name.split("[")[0] in SLOW_TESTS \
+                and not explicitly_requested(item):
             item.add_marker(pytest.mark.slow)
 
 

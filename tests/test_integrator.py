@@ -1,8 +1,6 @@
 """Integrator semantics tests — the wavefront loop must reproduce the
 reference's recursive ray_color contract (reference: src/ray_color.jl:14-38)."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

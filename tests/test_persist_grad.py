@@ -182,12 +182,25 @@ def test_persist_strict_poisons_on_drop():
         sc, o, d, tk, DEPTH, 1e-4, S, 3, True, False, None, True,
         True) ** 2), allow_int=True)(scene)
     assert np.isnan(np.asarray(g.albedo)).all()
+    # A loss LINEAR in radiance has constant cotangents — the primal
+    # poison alone never reaches jax.grad's output (the NaN primal is
+    # discarded), so the backward must poison its own outputs (round-4
+    # review finding; previously returned finite biased gradients here).
+    g_lin = jax.grad(lambda sc: jnp.sum(trace_recorded_persist(
+        sc, o, d, tk, DEPTH, 1e-4, S, 3, True, False, None, True,
+        True)), allow_int=True)(scene)
+    assert np.isnan(np.asarray(g_lin.albedo)).all()
     # Zero drops: strict is bitwise-free.
     ok_strict = np.asarray(trace_recorded_persist(
         scene, o, d, tk, DEPTH, 1e-4, S, None, True, False, None, True, True))
     ok_plain = np.asarray(trace_recorded_persist(
         scene, o, d, tk, DEPTH, 1e-4, S, None, True))
     np.testing.assert_array_equal(ok_strict, ok_plain)
+    # ...and the strict backward stays finite when nothing is dropped.
+    g_ok = jax.grad(lambda sc: jnp.sum(trace_recorded_persist(
+        sc, o, d, tk, DEPTH, 1e-4, S, None, True, False, None, True,
+        True)), allow_int=True)(scene)
+    assert np.isfinite(np.asarray(g_ok.albedo)).all()
 
 
 def test_resolve_grad_path_sets_strict_on_auto_default():
