@@ -118,6 +118,10 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
         # Plain-Python probe loop over ONE jitted forward (vmapping the
         # Pallas persistent kernel is unsupported; the few extra dispatches
         # per step are small next to the renders).
+        # spsa_pairs=0 disables center probing entirely (albedo-only fits:
+        # exact AD, no SPSA noise, centers frozen under zero gradient).
+        if spsa_pairs == 0:
+            return jnp.zeros_like(p["center"])
         g = 0.0
         for _ in range(spsa_pairs):
             delta = jnp.asarray(
@@ -203,7 +207,9 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
             lm = fwd_loss(params["center"] - spsa_c * delta,
                           params["albedo"])
             g_center = g_center + (lp - lm) / (2.0 * spsa_c) * delta
-        g = {"center": g_center / spsa_pairs, "albedo": g["albedo"] * mov}
+        # max(, 1): spsa_pairs=0 (albedo-only fit) leaves g_center zero.
+        g = {"center": g_center / max(spsa_pairs, 1),
+             "albedo": g["albedo"] * mov}
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key), loss
