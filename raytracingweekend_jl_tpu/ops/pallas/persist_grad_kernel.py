@@ -35,10 +35,14 @@ contraction as the fixed-depth path.
 Overflow contract: ``n_iters`` is a static CAP (the record buffer's leading
 axis), but the record phase is a ``while_loop`` that exits at the REALIZED
 max lane-iteration count — with the default cap (``n_strips * max_depth``,
-the worst case) no path can ever be dropped, and the cap's slack costs only
-record-buffer memory — the replay walks exactly the REALIZED iteration count
-(recovered from the per-iteration active counts) via a dynamic-lower-bound
-while loop, so slack iterations are never executed. A caller-supplied
+the worst case) no path can ever be dropped. The cap's slack costs
+record-buffer memory; on the replay side the cost depends on the mode: the
+LOOP replay walks exactly the REALIZED iteration count (recovered from the
+per-iteration active counts) via a dynamic-lower-bound while loop, while
+the default FUSED replay visits every slot in-grid (slack slots skip their
+adjoint in-kernel but still stream their zeroed record slices from HBM —
+size ``n_iters`` generously and you pay backward bandwidth, not compute).
+A caller-supplied
 smaller cap trades exactness for memory: overflowing lanes contribute ZERO
 for truncated/unstarted rays — the primal and gradient stay self-consistent
 (unfinished paths never inject), the image is biased low, and the driver
@@ -63,6 +67,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..intersect import BIG
 from .intersect_kernel import LANES, _pad_rows
 from .shade_kernel import _shade_core, _uniforms, SHADE_ROWS
+from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
+                          _dattr_contract, _float0_like,
+                          _replay_fused_default, _BLOCK_SEED_STRIDE)
 
 
 #: Slots per dattr-contraction dot in the fused replay (see
@@ -74,18 +81,23 @@ from .shade_kernel import _shade_core, _uniforms, SHADE_ROWS
 _DATTR_GROUP = int(os.environ.get("RTW_DATTR_GROUP", "8"))
 
 
+#: RTW_PERSIST_BLOCK_ROWS override, read ONCE at import: record (forward
+#: trace) and replay (backward trace) MUST decompose into the same blocks
+#: — the hw PRNG stream is seeded per (iteration, block) — so a per-call
+#: env read could let a mid-process toggle split the pair and silently
+#: replay wrong scatter directions (round-4 review; same rule as
+#: _DATTR_GROUP). A/B in a fresh process.
+_BLOCK_ROWS_ENV = os.environ.get("RTW_PERSIST_BLOCK_ROWS")
+
+
 def _persist_block_rows(n_strips: int) -> int:
     """Block rows for the persistent kernels: the tuned 64 up to S=8;
     S>=16 carries too many strip/rad planes for 64-row blocks (a
     reproducible remote-compile failure, almost certainly VMEM) and runs
-    at 32. Env-tunable for A/B (RTW_PERSIST_BLOCK_ROWS)."""
-    env = os.environ.get("RTW_PERSIST_BLOCK_ROWS")
-    if env:
-        return int(env)
+    at 32. Import-time env override for A/B (RTW_PERSIST_BLOCK_ROWS)."""
+    if _BLOCK_ROWS_ENV:
+        return int(_BLOCK_ROWS_ENV)
     return SHADE_ROWS if n_strips < 16 else 32
-from .grad_kernel import (_bounce_adjoint, _seed_prng, _attr_mat, _base_seed,
-                          _dattr_contract, _float0_like,
-                          _replay_fused_default, _BLOCK_SEED_STRIDE)
 
 #: flag-plane bit layout (record kernel writes, replay kernel reads)
 _F_ACT, _F_HIT, _F_TERM, _F_REGEN = 1, 2, 4, 8
@@ -454,20 +466,28 @@ def persist_record_fused_step(state: tuple, rad: tuple, rec: tuple,
     winner-attribute select). ``rec`` here has 22 planes — the last is the
     int32 winner-index plane."""
     rows = state[0].shape[0]
-    grid = rows // SHADE_ROWS
-    hw_prng = u5 is None
     S = n_strips
+    # MUST match _persist_block_rows(S): the hw PRNG stream is seeded per
+    # (iteration, block) and the replay kernels re-derive it with
+    # _persist_block_rows-shaped blocks — a different decomposition here
+    # would silently replay the wrong scatter directions (round-4 review:
+    # this used to hardcode SHADE_ROWS, breaking RTW_PERSIST_BLOCK_ROWS
+    # retunes and S>=16 under fused_step).
+    br = _persist_block_rows(S)
+    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    grid = rows // br
+    hw_prng = u5 is None
     f32 = jnp.float32
 
-    spec = pl.BlockSpec((SHADE_ROWS, LANES), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((br, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    rec_spec = pl.BlockSpec((1, SHADE_ROWS, LANES),
+    rec_spec = pl.BlockSpec((1, br, LANES),
                             lambda i, *_refs: (_refs[0][0], i, 0),
                             memory_space=pltpu.VMEM)
     rng_specs, rng_planes = [], []
     if not hw_prng:
         rng_planes = [u5]
-        rng_specs = [pl.BlockSpec((5, SHADE_ROWS, LANES),
+        rng_specs = [pl.BlockSpec((5, br, LANES),
                                   lambda i, *_: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
@@ -1034,11 +1054,29 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
         rec_idx1 = rec1[21].reshape(b1, -1)
         rec1 = rec1[:21]
 
+    def _dummy_future(sp_plane, oy_strips):
+        """Per-lane count of UNSTARTED strips holding padding dummies
+        (origin.y == -1e7, the documented marker). Dummy rays are
+        one-iteration sky paths whose output is sliced off — counting
+        them as dropped would inflate the audit and let strict NaN-poison
+        a render that lost zero real paths (round-4 review)."""
+        cnt = jnp.zeros_like(sp_plane)
+        for s_i, oy in enumerate(oy_strips):
+            cnt = cnt + ((oy == -1e7) & (sp_plane < s_i)).astype(jnp.int32)
+        return cnt
+
+    def _real_inflight(state_):
+        # active lanes whose CURRENT ray is not a padding dummy
+        return state_[11] * (state_[1] != -1e7).astype(jnp.int32)
+
     if tail_compact is None:
         radiance = _unstrip3(rad, lambda c, j: 3 * c + j, S, delta, R)
         # Overflow diagnostics (0 unless the caller shrank the cap below
-        # the worst case): paths in flight + strips never started.
-        dropped = jnp.sum(state[11]) + jnp.sum(S - 1 - state[10])
+        # the worst case): REAL paths in flight + real strips never
+        # started (padding dummies excluded).
+        dropped = (jnp.sum(_real_inflight(state))
+                   + jnp.sum((S - 1 - state[10])
+                             - _dummy_future(state[10], so[1])))
         _warn_dropped(dropped)
         return (radiance.astype(origin.dtype),
                 (rec1, rec_idx1, counts1), dropped)
@@ -1080,14 +1118,19 @@ def _persist_record_forward(scene, origin, direction, key, max_depth, tmin,
     radiance = _unstrip3(rad, lambda c, j: 3 * c + j, S, delta, R)
 
     # Dropped: boundary overflow (survivors beyond W2 never continue:
-    # their in-flight path + unstarted strips) + phase-2 cap leftovers.
+    # their in-flight path + unstarted strips) + phase-2 cap leftovers —
+    # REAL rays only (padding dummies excluded, see _dummy_future).
     selected = jnp.zeros((W,), jnp.int32).at[sel].add(valid2)
     unsel = act_flat * (1 - selected)
     sp_flat = state[10].reshape(-1)  # boundary snapshot (tuples immutable)
+    cur_real = (state[1].reshape(-1) != -1e7).astype(jnp.int32)
+    fut_dummy = _dummy_future(state[10], so[1]).reshape(-1)
     v2p = valid2.reshape(rows2, LANES)
-    dropped = (jnp.sum(unsel * (S - sp_flat))
-               + jnp.sum(state2[11] * v2p)
-               + jnp.sum((S - 1 - state2[10]) * v2p))
+    oy2_strips = [strip_planes2[6 * s_i + 1] for s_i in range(S)]
+    dropped = (jnp.sum(unsel * (cur_real + (S - 1 - sp_flat) - fut_dummy))
+               + jnp.sum(_real_inflight(state2) * v2p)
+               + jnp.sum(((S - 1 - state2[10])
+                          - _dummy_future(state2[10], oy2_strips)) * v2p))
     _warn_dropped(dropped)
     res = (rec1, rec_idx1, counts1, rec2, rec_idx2, counts2, sel, valid2)
     return radiance.astype(origin.dtype), res, dropped

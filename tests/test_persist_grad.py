@@ -203,6 +203,39 @@ def test_persist_strict_poisons_on_drop():
     assert np.isfinite(np.asarray(g_ok.albedo)).all()
 
 
+def test_dropped_audit_excludes_padding_dummies():
+    """Padding dummies (one-iteration sky rays, output sliced off) must not
+    count as dropped paths: an all-miss scene whose real rays all fit in
+    strip 0 completes them in the first iteration, so a cap of n_iters=1
+    drops ZERO real paths even though strips 1..S-1 are full of dummies —
+    the audit must say 0 and strict must NOT poison the (exact) render
+    (round-4 review: the old accounting counted every unstarted dummy
+    strip, poisoning exact renders)."""
+    scene = make_scene([lambertian((0, -500, 0), 1.0, (0.5, 0.5, 0.5))],
+                       pad_to=1)
+    R = 594  # << one strip width after block padding -> strips 1..3 dummy
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32), (R, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (R, 1))
+    tk = jax.random.PRNGKey(0)
+    dropped = int(persist_dropped_paths(scene, o, d, tk, 4, 1e-4, 4, 1,
+                                        True))
+    assert dropped == 0, dropped
+    rad = np.asarray(trace_recorded_persist(scene, o, d, tk, 4, 1e-4, 4, 1,
+                                            True, False, None, True, True))
+    assert np.isfinite(rad).all()  # strict does not poison an exact render
+    # Sanity: a cap that DOES drop real paths still reports them — two
+    # real rays per lane (second strip real), cap 1 freezes the second.
+    from raytracingweekend_jl_tpu.ops.pallas.persist_grad_kernel import (
+        _strip_geometry)
+    rows, Wl = _strip_geometry(R, 4)
+    R2 = Wl + 97  # 97 real rays land in strip 1
+    o2 = jnp.tile(o[:1], (R2, 1))
+    d2 = jnp.tile(d[:1], (R2, 1))
+    dropped2 = int(persist_dropped_paths(scene, o2, d2, tk, 4, 1e-4, 4, 1,
+                                         True))
+    assert dropped2 == 97, dropped2
+
+
 def test_resolve_grad_path_sets_strict_on_auto_default():
     from raytracingweekend_jl_tpu.grad import resolve_grad_path
     kw = resolve_grad_path({}, 1 << 21, "tpu")
