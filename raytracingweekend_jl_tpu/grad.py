@@ -122,6 +122,10 @@ def auto_pixel_chunk(n_pix: int, max_depth: int,
     # and measured AT PARITY unchunked (grad_step_persist_tc_full), so its
     # caller raises the cap to run the flagship as one chunk.
     r_max = min(r_max, soft_cap)
+    # Floor BEFORE the ceil-divide: a budget below one ray-bounce of record
+    # bytes made r_max == 0 and the division below crash instead of
+    # flooring at 8192 as the docstring promises (round-4 review).
+    r_max = max(r_max, 8192)
     if n_pix <= r_max:
         return None
     # BALANCE the chunks: every chunk is padded to the chunk size and pays
@@ -188,14 +192,19 @@ def resolve_grad_path(kwargs: dict, n_pix: int, backend: str) -> dict:
             "recorded_persist must be (n_strips, n_iters|None[, "
             "tail_compact]) — e.g. (8, None) or (8, None, (44, 16)); "
             f"got {rp!r}")
-    path_chosen = any(k in kwargs for k in
-                      ("remat", "recorded", "recorded_fused",
-                       "recorded_persist", "recorded_stage"))
+    # TRUTHY values choose a path; explicitly spelling out a default
+    # (remat=False, recorded_persist=None) must not silently disable the
+    # fast auto-selection (round-4 review). recorded=False is the one
+    # explicit falsy CHOICE (it means "use the remat transpose").
+    path_chosen = (any(kwargs.get(k) for k in
+                       ("remat", "recorded", "recorded_fused",
+                        "recorded_persist", "recorded_stage"))
+                   or kwargs.get("recorded") is False)
     if kwargs.get("recorded_fused") or kwargs.get("recorded_persist"):
         kwargs["recorded"] = True
     kwargs.setdefault("recorded", not kwargs.get("remat", False))
     kwargs.setdefault("remat", not kwargs["recorded"])
-    if not path_chosen and backend != "cpu":
+    if not path_chosen and backend == "tpu":
         if n_pix >= (1 << 17):
             # Boundary iteration scales with depth (44 was tuned and
             # zero-drop-verified at the default depth 16).
@@ -287,9 +296,8 @@ def render_loss(scene: Scene, cam: Camera, target: jnp.ndarray,
     if ih is not None and ih != target.shape[0]:
         raise ValueError(f"image_height={ih} conflicts with "
                          f"target height {target.shape[0]}")
-    import jax as _jax
     resolve_grad_path(kwargs, target.shape[0] * image_width,
-                      _jax.default_backend())
+                      jax.default_backend())
     if kwargs["recorded"] and "pixel_chunk" not in kwargs:
         persist = kwargs.get("recorded_persist")
         if persist:
@@ -381,13 +389,20 @@ def twin_ad_canary(scene: Scene, cam: Camera, width: int = 256,
     ts-1787002624 incident blew the norm by ~6 orders of magnitude).
     Raises :class:`GradSanityError` on disagreement."""
     import numpy as np
-    from .render import render_radiance
     target = render_radiance(scene, cam, width, 1, seed=123)
     bad = scene._replace(albedo=jnp.clip(scene.albedo * 0.8, 0, 1))
+    # Shared render config (depth, tmin, chunking, ...) must apply to BOTH
+    # twins — the whole point is two estimators of the SAME gradient
+    # (round-4 review: kwargs previously reached only the recorded side).
+    # Path-selection keys and the fixed seed stay pinned per twin.
+    shared = {k: v for k, v in kwargs.items()
+              if k not in ("recorded", "remat", "recorded_fused",
+                           "recorded_persist", "recorded_stage", "seed")}
+    rec_kw = {k: v for k, v in kwargs.items() if k != "seed"}
     _, g_rec = render_grads(bad, cam, target, width, n_samples, seed=5,
-                            **kwargs)
+                            **rec_kw)
     _, g_ref = render_grads(bad, cam, target, width, n_samples, seed=5,
-                            recorded=False, remat=True)
+                            recorded=False, remat=True, **shared)
     check_grads_sane(g_rec)
     check_grads_sane(g_ref)
     for name in SceneGrads._fields:

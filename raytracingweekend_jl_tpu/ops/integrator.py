@@ -389,7 +389,7 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
     lanes interleave their samples. Semantics match the reference integrator
     exactly: depth budget ``max_depth`` scatters then black
     (src/ray_color.jl:14-38), centered global sample 0 (src/render.jl:30-32),
-    jitter U[0,1)/W, thin-lens offsets. Forward-only (while_loop).
+    jitter U[0,1)/W in u and U[0,1)/H in v (src/render.jl:34-35), thin-lens offsets. Forward-only (while_loop).
     """
     from ..camera import make_rays
     from .sampling import concentric_disk_map, per_ray_uniforms

@@ -80,7 +80,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     # path the old hardcoded default pinned).
     tkw = dict(render_kwargs) if render_kwargs else {}
     seed = tkw.pop("seed", seed)
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = jax.default_backend() == "tpu"
     if movable is None:
         movable = movable_mask(scene0)
     mov = jnp.asarray(movable)[:, None]
@@ -170,7 +170,7 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     H = target.shape[0]
     tkw = dict(render_kwargs) if render_kwargs else {}
     seed = tkw.pop("seed", seed)
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = jax.default_backend() == "tpu"
     if movable is None:
         movable = movable_mask(scene0)
     mov = jnp.asarray(movable)[:, None]

@@ -171,7 +171,10 @@ def _auto_grad_mode(backend: str, tile_size: int) -> str:
     for full images, where persist measured 13.9 vs 8.0 Mpaths/s). CPU:
     the XLA recorded path (the kernel pairs would run in interpret mode —
     covered by an explicit-grad_mode mesh test instead)."""
-    if backend == "cpu":
+    if backend != "tpu":
+        # CPU and any non-TPU accelerator: the XLA recorded path (the
+        # Mosaic kernel pairs lower only on TPU; CPU interpret mode is
+        # covered by an explicit-grad_mode mesh test instead).
         return "recorded"
     return "persist" if tile_size >= (1 << 17) else "fused"
 

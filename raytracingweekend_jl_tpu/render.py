@@ -7,7 +7,7 @@ Reference semantics reproduced exactly (reference: src/render.jl:8-44):
 - pixel coordinates ``u = (j+1)/W``, ``v = (H-1-i)/H`` for 0-based (i, j) with
   a Y-flip so row 0 is the top of the image (src/render.jl:26-27);
 - first sample per pixel centered, samples ≥ 2 jittered by ``U[0,1)/W``
-  (src/render.jl:29-36);
+  horizontally and ``U[0,1)/H`` vertically (src/render.jl:29-36);
 - accumulate radiance, divide by n_samples, gamma-2 encode (src/render.jl:38-40).
 
 TPU-native structure: all pixels of a chunk are traced as one wavefront per
@@ -139,7 +139,10 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
         # Mpaths/s flagship vs 12 for pixel-pinned lanes); non-contiguous
         # tiles use the pixel-pinned fused kernel; CPU uses the XLA body (the
         # Pallas kernels' hardware PRNG has no CPU lowering).
-        on_tpu = jax.default_backend() != "cpu"
+        # == "tpu", not != "cpu": the Mosaic kernels lower only on TPU
+        # (the axon tunnel registers as backend "tpu"); GPU and any other
+        # backend take the XLA body below (round-4 review).
+        on_tpu = jax.default_backend() == "tpu"
         # RTW_FORCE_STRIDED_INTERPRET routes CPU through the strided Pallas
         # kernel in interpret mode — lets tests drive the exact production
         # dispatch (shard_map -> strided tiles) without a TPU.
@@ -167,7 +170,14 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                 return persistent_render_sum_strided(
                     scene, cam, u, v, key, n_samples, sample_offset,
                     max_depth, tmin, f32_w, f32_h,
-                    k=1 if m > 1 else (64 if full_image else strided_k_for(n_pix)),
+                    # k=64 only while it still yields a healthy wavefront
+                    # (>= ~0.75*STRIDED_MIN_LANES lanes); mid-size full
+                    # images fall back to the lane-floor heuristic — a
+                    # 600-px full image at k=64 would run ~3k lanes, 8x
+                    # under the floor (round-4 review).
+                    k=(1 if m > 1 else
+                       (64 if n_pix >= 48 * STRIDED_MIN_LANES
+                        else strided_k_for(n_pix))),
                     pixel_start=0 if pixel_start is None else pixel_start,
                     interpret=not on_tpu, sample_groups=m)
             from .ops.integrator import persistent_render_sum_fused
@@ -190,9 +200,11 @@ def render_tile_sum(scene: Scene, cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
         key_p = jax.random.fold_in(key, s0)
         # Per-ray global sample ids, sample-major: [spp * n_pix].
         sid = s0 + jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_pix)
-        # Supersampling jitter: global sample 0 centered, others jittered by
-        # U[0,1)/W. The reference divides by Float32(width) even in Float64
-        # renders (src/render.jl:13-14,34-35); we divide by the same value.
+        # Supersampling jitter: global sample 0 centered, others jittered
+        # by U[0,1)/W horizontally and U[0,1)/H vertically, exactly the
+        # reference (du/f32_image_width, dv/f32_image_HEIGHT —
+        # src/render.jl:34-35; the divisors stay Float32 even in Float64
+        # renders, src/render.jl:13-14).
         jit_uv = jax.random.uniform(rng.purpose_key(key_p, rng.PIXEL_JITTER),
                                     (spp * n_pix, 2), dtype=dtype)
         jit_uv = jnp.where((sid == 0)[:, None], 0.0, jit_uv * scale)
@@ -374,8 +386,14 @@ def render_radiance(scene: Scene, cam: Camera, image_width: int = 400,
     H = image_height if image_height is not None else image_height_for(image_width)
     W = image_width
     u, v = pixel_coords(W, H, dtype=dtype)
-    key = seed if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key) \
-        else jax.random.PRNGKey(seed)
+    if isinstance(seed, jax.Array) and (
+            jnp.issubdtype(seed.dtype, jax.dtypes.prng_key)
+            or (seed.dtype == jnp.uint32 and seed.shape == (2,))):
+        # typed PRNG key, or a legacy uint32[2] raw key (the historical
+        # jax.random.PRNGKey format) — both accepted per the annotation.
+        key = seed
+    else:
+        key = jax.random.PRNGKey(seed)
 
     n_pix = H * W
     if pixel_chunk is None or pixel_chunk >= n_pix:
