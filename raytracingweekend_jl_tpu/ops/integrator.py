@@ -49,7 +49,9 @@ def _pick_intersector(use_pallas, fused_attrs: bool = False):
     work on the device too, reference src/proto/proto.jl:15).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        # Mosaic kernels lower only on TPU; GPU/other backends take the
+        # XLA sweep (round-4 review).
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         def dtype_dispatch(kern):
             def isect(org, d, scene, tmin):
@@ -92,10 +94,31 @@ def _persistent_base_seed(key: jax.Array, sample_offset) -> jnp.ndarray:
     key-sum seed every chunk would restart the identical per-(block, lane,
     iteration) uniform stream and correlate its samples.
     """
+    off = jnp.asarray(sample_offset, jnp.int32)
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-        folded = jax.random.fold_in(key, jnp.asarray(sample_offset, jnp.int32))
+        folded = jax.random.fold_in(key, off)
         return jnp.sum(jax.random.key_data(folded).astype(jnp.int32))
-    return jnp.asarray(sample_offset, jnp.int32)
+    if key.ndim:
+        # Raw uint32[2] threefry key — the default render(seed=N) path
+        # (jax.random.PRNGKey returns raw keys). This branch used to return
+        # only sample_offset, silently dropping ALL key entropy: every
+        # persistent TPU render drew identical in-kernel scatter/jitter
+        # streams regardless of seed (round-4 review).
+        folded = jax.random.fold_in(key, off)
+        return jnp.sum(folded.astype(jnp.int32))
+    return jnp.asarray(key, jnp.int32) + off
+
+def _check_film(f32_w: float, f32_h: float) -> None:
+    """The persistent renderers regenerate samples in-kernel and need the
+    film size for jitter scaling; the 0.0 legacy defaults guaranteed NaN
+    rays for every regenerated sample (1/0 jitter scale) instead of an
+    error (round-4 review). Fail loudly at trace time."""
+    if not (f32_w > 0 and f32_h > 0):
+        raise ValueError(
+            f"f32_w/f32_h must be the positive film size in pixels, got "
+            f"({f32_w}, {f32_h}) — pass float(image_width), "
+            f"float(image_height)")
+
 
 _WHITE = (1.0, 1.0, 1.0)
 _SKYBLUE = (0.5, 0.7, 1.0)
@@ -398,6 +421,7 @@ def persistent_render_sum(scene: Scene, cam, u: jnp.ndarray, v: jnp.ndarray,
     if max_depth <= 0 or n_samples <= 0:
         return jnp.zeros((u.shape[0], 3), u.dtype)
 
+    _check_film(f32_w, f32_h)
     dtype = u.dtype
     R = u.shape[0]
     slots = jnp.arange(R, dtype=jnp.int32)
@@ -504,12 +528,10 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
     key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
     cam_consts = pack_camera_consts(cam, int(f32_w), int(f32_h))
 
-    # Winning-attr matrix for the one-hot row fetch ([N, 10]).
-    attr_mat = jnp.concatenate([
-        scene.center.astype(jnp.float32), scene.radius[:, None].astype(jnp.float32),
-        scene.albedo.astype(jnp.float32), scene.fuzz[:, None].astype(jnp.float32),
-        scene.ir[:, None].astype(jnp.float32),
-        scene.mat[:, None].astype(jnp.float32)], axis=1)
+    # Winning-attr matrix for the one-hot row fetch (canonical [N, 10]
+    # ABI, materials.attr_mat).
+    from .materials import attr_mat as _mk_attr_mat
+    attr_mat = _mk_attr_mat(scene)
 
     # Initial rays: threefry-keyed by (slot, sample) like the XLA persistent
     # path — only the regenerated samples use the in-kernel PRNG.
@@ -531,6 +553,7 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
              jnp.zeros((R,), jnp.int32), sample_ids, jnp.ones((R,), jnp.int32))
 
     last_sample = sample_offset + n_samples - 1
+    _check_film(f32_w, f32_h)
     base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):
@@ -611,6 +634,7 @@ def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
     fv_p = to_planes(v, rows)
 
     last_sample = sample_offset + n_samples - 1
+    _check_film(f32_w, f32_h)
     base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):
@@ -741,14 +765,12 @@ def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,
                   + [zer] * (3 * k))
     state = tuple(pad_plane(x) for x in state_flat)
 
-    attr_mat = jnp.concatenate([
-        scene.center.astype(jnp.float32), scene.radius[:, None].astype(jnp.float32),
-        scene.albedo.astype(jnp.float32), scene.fuzz[:, None].astype(jnp.float32),
-        scene.ir[:, None].astype(jnp.float32),
-        scene.mat[:, None].astype(jnp.float32)], axis=1)
+    from .materials import attr_mat as _mk_attr_mat
+    attr_mat = _mk_attr_mat(scene)
 
     intersect = _pick_intersector(None if not interpret else False)
     last_sample = sample_offset + n_samples - 1
+    _check_film(f32_w, f32_h)
     base_seed = _persistent_base_seed(key, sample_offset)
 
     def cond(st):

@@ -63,6 +63,22 @@ def slot_keys(key: jax.Array, slots: jnp.ndarray) -> jax.Array:
     return jax.vmap(jax.random.fold_in, (None, 0))(key, slots)
 
 
+def attr_mat(scene) -> jnp.ndarray:
+    """THE canonical per-sphere attribute matrix ``[N, 10]`` — column order
+    ``center.xyz | radius | albedo.rgb | fuzz | ir | mat`` is a cross-kernel
+    ABI shared by the shade kernels' attribute unpack, the record/replay
+    adjoint (grad_kernel acx..amt), the fused-record in-kernel select, and
+    _fused_bwd's g_attr column slicing. Change it in exactly one place
+    (here) or gradients/attributes silently corrupt (round-4 review: four
+    drifting inline copies consolidated)."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        scene.center.astype(f32), scene.radius[:, None].astype(f32),
+        scene.albedo.astype(f32), scene.fuzz[:, None].astype(f32),
+        scene.ir[:, None].astype(f32), scene.mat[:, None].astype(f32)],
+        axis=1)
+
+
 def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
     """Fetch per-ray sphere attributes ``(center, radius, albedo, fuzz, ir, mat)``.
 
@@ -82,15 +98,7 @@ def gather_sphere_attrs(scene: Scene, index: jnp.ndarray, dtype):
                 scene.mat[index])
 
     n = scene.n_spheres
-    attr = jnp.concatenate([
-        scene.center.astype(jnp.float32),
-        scene.radius[:, None].astype(jnp.float32),
-        scene.albedo.astype(jnp.float32),
-        scene.fuzz[:, None].astype(jnp.float32),
-        scene.ir[:, None].astype(jnp.float32),
-        scene.mat[:, None].astype(jnp.float32),
-    ], axis=1)  # [N, 10]
-    rows = _onehot_rows_exact(index, attr, n).astype(dtype)
+    rows = _onehot_rows_exact(index, attr_mat(scene), n).astype(dtype)
     return (rows[:, 0:3], rows[:, 3], rows[:, 4:7], rows[:, 7], rows[:, 8],
             rows[:, 9].astype(jnp.int32))
 

@@ -70,8 +70,7 @@ def _seed_prng(seed_ref):
 # Record kernel: shade one bounce + write the bounce's residual record
 # ---------------------------------------------------------------------------
 
-def _record_shade_kernel(b_ref, seed_ref, *refs, max_depth: int,
-                         hw_prng: bool):
+def _record_shade_kernel(b_ref, seed_ref, *refs, hw_prng: bool):
     if hw_prng:
         u5_ref = None
     else:
@@ -138,7 +137,7 @@ def _record_shade_kernel(b_ref, seed_ref, *refs, max_depth: int,
 
 
 def record_shade_step(state: tuple, rec: tuple, t, attrs10_planes,
-                      bounce, seed, max_depth: int,
+                      bounce, seed,
                       interpret: bool = False, u5=None):
     """One record-phase bounce over padded planes. ``state`` = 13
     [rows, LANES] planes (o3, d3, thr3, rad3, alive); ``rec`` = 21
@@ -176,7 +175,7 @@ def record_shade_step(state: tuple, rec: tuple, t, attrs10_planes,
     aliases.update({base + n_state + i: n_state + i for i in range(n_rec)})
 
     outs = pl.pallas_call(
-        partial(_record_shade_kernel, max_depth=max_depth, hw_prng=hw_prng),
+        partial(_record_shade_kernel, hw_prng=hw_prng),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
@@ -639,12 +638,10 @@ def _replay_fused_default() -> bool:
 # ---------------------------------------------------------------------------
 
 def _attr_mat(scene) -> jnp.ndarray:
-    f32 = jnp.float32
-    return jnp.concatenate([
-        scene.center.astype(f32), scene.radius[:, None].astype(f32),
-        scene.albedo.astype(f32), scene.fuzz[:, None].astype(f32),
-        scene.ir[:, None].astype(f32), scene.mat[:, None].astype(f32)],
-        axis=1)  # [N, 10]
+    # Canonical [N, 10] ABI lives in materials.attr_mat; this name is kept
+    # because persist_grad_kernel and the tests import it from here.
+    from ..materials import attr_mat
+    return attr_mat(scene)
 
 
 def _base_seed(key: jax.Array) -> jnp.ndarray:
@@ -664,7 +661,6 @@ def _u5_for(key, b, rows):
 @partial(jax.jit, static_argnames=("max_depth", "tmin", "interpret"))
 def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
                           interpret):
-    from .intersect_kernel import intersect_spheres_pallas
     from ..intersect import intersect_spheres
     from ..materials import fetch_attr_planes
 
@@ -714,7 +710,7 @@ def _fused_record_forward(scene, origin, direction, key, max_depth, tmin,
             attr_planes = [pad(attrs10t[i]) for i in range(10)]
         u5 = _u5_for(key, b, rows) if interpret else None
         state, rec = record_shade_step(state, rec, t_plane, attr_planes,
-                                       b, seed + b, max_depth,
+                                       b, seed + b,
                                        interpret=interpret, u5=u5)
         rec_idx = rec_idx.at[b].set(idx)
         return state, rec, rec_idx
@@ -987,7 +983,7 @@ def _fused_record_forward_staged(scene, origin, direction, key, max_depth,
                            .reshape(rows_s, LANES) for i in range(10)]
             u5 = _u5_for(key, b, rows_s) if interpret else None
             state, rec = record_shade_step(state, rec, t_plane, attr_planes,
-                                           i, seed + b, max_depth,
+                                           i, seed + b,
                                            interpret=interpret, u5=u5)
             rec_idx = rec_idx.at[i].set(res.index)
             return state, rec, rec_idx
