@@ -361,10 +361,12 @@ def check_grads_sane(grads, loss=None, max_abs: float = 1e3) -> None:
         lv = float(np.asarray(loss))
         if not np.isfinite(lv):
             raise GradSanityError(f"loss is not finite: {lv}")
-    leaves, _ = jax.tree.flatten(grads)
-    names = (list(grads._fields) if hasattr(grads, "_fields")
-             else [str(i) for i in range(len(leaves))])
-    for name, leaf in zip(names, leaves):
+    # Derive leaf names from the tree paths (not grads._fields): a field
+    # that is itself a multi-leaf pytree would otherwise mislabel or
+    # silently truncate the zip (ADVICE r4).
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path).lstrip(".") or "<root>"
         a = np.asarray(leaf)
         if not np.isfinite(a).all():
             raise GradSanityError(f"grad[{name}] contains non-finite values "

@@ -299,7 +299,9 @@ def persist_record_step(state: tuple, rad: tuple, rec: tuple,
     rows = state[0].shape[0]
     S = n_strips
     br = _persist_block_rows(S)
-    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    if rows % br != 0:  # a remainder row would silently fall off the grid
+        raise ValueError(f"rows={rows} not divisible by block rows {br} "
+                         "(check RTW_PERSIST_BLOCK_ROWS)")
     grid = rows // br
     hw_prng = u5 is None
 
@@ -474,7 +476,9 @@ def persist_record_fused_step(state: tuple, rad: tuple, rec: tuple,
     # this used to hardcode SHADE_ROWS, breaking RTW_PERSIST_BLOCK_ROWS
     # retunes and S>=16 under fused_step).
     br = _persist_block_rows(S)
-    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    if rows % br != 0:  # a remainder row would silently fall off the grid
+        raise ValueError(f"rows={rows} not divisible by block rows {br} "
+                         "(check RTW_PERSIST_BLOCK_ROWS)")
     grid = rows // br
     hw_prng = u5 is None
     f32 = jnp.float32
@@ -747,7 +751,9 @@ def persist_replay_fused(cot: tuple, dep: tuple, rec: tuple,
     # would silently replay the wrong path. Retry a VMEM-bound compile with
     # RTW_PERSIST_BLOCK_ROWS=32, which retunes BOTH phases consistently.
     br = _persist_block_rows(S)
-    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    if rows % br != 0:  # a remainder row would silently fall off the grid
+        raise ValueError(f"rows={rows} not divisible by block rows {br} "
+                         "(check RTW_PERSIST_BLOCK_ROWS)")
     n_blocks = rows // br
     n_slots = rec[0].shape[0]
     hw_prng = u5_all is None
@@ -800,7 +806,9 @@ def persist_replay_step(cot: tuple, dep: tuple, rec: tuple,
     rows = cot[0].shape[0]
     S = n_strips
     br = _persist_block_rows(S)
-    assert rows % br == 0, (rows, br)  # a remainder row falls off the grid
+    if rows % br != 0:  # a remainder row would silently fall off the grid
+        raise ValueError(f"rows={rows} not divisible by block rows {br} "
+                         "(check RTW_PERSIST_BLOCK_ROWS)")
     grid = rows // br
     hw_prng = u5 is None
     rec_attrs = attrs is None

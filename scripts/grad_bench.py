@@ -239,10 +239,14 @@ def main() -> None:
     # Ambient env A/B knobs must not masquerade as the default config's
     # label — a control run would displace the real default as the "latest
     # row per label" (bench.py's grad headline picks exactly that).
+    # ... but an env var explicitly set to its compiled-in default IS the
+    # default config — suffixing it would stop that session from
+    # refreshing the headline row (ADVICE r4).
+    _knob_defaults = {"RTW_DATTR_GROUP": "8", "RTW_REPLAY_FUSED": "1",
+                      "RTW_PERSIST_BLOCK_ROWS": None}
     _knobs = "".join(f"_{k.lower().replace('rtw_', '')}{os.environ[k]}"
-                     for k in ("RTW_DATTR_GROUP", "RTW_REPLAY_FUSED",
-                               "RTW_PERSIST_BLOCK_ROWS")
-                     if k in os.environ)
+                     for k, dflt in _knob_defaults.items()
+                     if k in os.environ and os.environ[k] != dflt)
 
     for name, kw in configs:
         name = name + _knobs

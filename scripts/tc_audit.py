@@ -27,6 +27,7 @@ enable_compilation_cache()
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import raytracingweekend_jl_tpu as rtw
 from raytracingweekend_jl_tpu.utils.metrics import append_history
@@ -37,6 +38,10 @@ def main():
     ap.add_argument("--boundaries", default="32,36,40,44")
     ap.add_argument("--div", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=4,
+                    help="per-seed sample offsets to audit; offset 0 is the "
+                    "centered ray, offsets >=1 carry the production pixel "
+                    "jitter (ADVICE r4: jittered occupancy differs)")
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args()
 
@@ -58,20 +63,35 @@ def main():
         scene, o, d, tk, 16, 1e-4, 8, None, interp, False, tc),
         static_argnames=("tc",))
 
+    # Audit BOTH the centered sample-0 ray AND production-jittered samples
+    # (ADVICE r4: occupancy varies with the pixel jitter too, and grad
+    # steps at spp 4/16 trace jittered rays; persist_strict remains the
+    # loud runtime backstop for any boundary this sampling misses). The
+    # jitter/lens/scatter key derivation mirrors render.pass_body exactly:
+    # key_p = fold_in(key, s0), sample id 0 centered.
+    scale = jnp.asarray([1.0 / np.float32(W), 1.0 / np.float32(H)],
+                        jnp.float32)
     worst = {}
     for b in (int(x) for x in args.boundaries.split(",")):
         tc = (b, args.div)
         for seed in range(args.seeds):
             key = jax.random.PRNGKey(seed)
-            o, d = get_rays(cam, u, v, rngmod.purpose_key(key, rngmod.LENS))
-            tk = rngmod.purpose_key(key, rngmod.SCATTER_DIR)
-            dropped = int(audit(jnp.asarray(o, jnp.float32),
-                                jnp.asarray(d, jnp.float32), tk, tc))
-            rec = {"label": "tc_audit", "boundary": b, "div": args.div,
-                   "seed": seed, "dropped": dropped,
-                   "paths": W * H, "device": str(jax.devices()[0])}
-            print(json.dumps(rec), flush=True)
-            worst[b] = max(worst.get(b, 0), dropped)
+            for s in range(args.samples):
+                key_p = jax.random.fold_in(key, s)
+                jit = jax.random.uniform(
+                    rngmod.purpose_key(key_p, rngmod.PIXEL_JITTER),
+                    (u.shape[0], 2), jnp.float32)
+                jit = jnp.where(s == 0, 0.0, jit * scale)
+                o, d = get_rays(cam, u + jit[:, 0], v + jit[:, 1],
+                                rngmod.purpose_key(key_p, rngmod.LENS))
+                tk = rngmod.purpose_key(key_p, rngmod.SCATTER_DIR)
+                dropped = int(audit(jnp.asarray(o, jnp.float32),
+                                    jnp.asarray(d, jnp.float32), tk, tc))
+                rec = {"label": "tc_audit", "boundary": b, "div": args.div,
+                       "seed": seed, "sample": s, "dropped": dropped,
+                       "paths": W * H, "device": str(jax.devices()[0])}
+                print(json.dumps(rec), flush=True)
+                worst[b] = max(worst.get(b, 0), dropped)
     import time
     append_history({"ts": time.time(), "label": "tc_audit_worst",
                     "div": args.div, "width": W,

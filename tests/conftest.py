@@ -77,7 +77,21 @@ def pytest_collection_modifyitems(config, items):
     # `-m "not slow"` profile — otherwise `pytest tests/x.py::test_slow`
     # reports "1 deselected" and exits green without running anything
     # (round-4 review finding). Skip marking exactly those.
-    explicit = {a.replace(os.sep, "/") for a in config.args if "::" in a}
+    # Normalize args to rootdir-relative node IDs so invoking pytest from a
+    # subdirectory or with an absolute path still matches item.nodeid
+    # (ADVICE r4: verbatim comparison silently deselected the requested
+    # test whenever the arg spelling differed from the nodeid).
+    explicit = set()
+    for a in config.args:
+        if "::" not in a:
+            continue
+        path, sep, rest = a.partition("::")
+        try:
+            rel = os.path.relpath(os.path.abspath(path),
+                                  str(config.rootpath))
+        except ValueError:  # different drive on Windows
+            rel = path
+        explicit.add(rel.replace(os.sep, "/") + sep + rest)
 
     def explicitly_requested(item):
         nid = item.nodeid

@@ -130,10 +130,19 @@ def test_render_loss_auto_chunk_plumbs_through(monkeypatch):
     render_loss(scene, cam, target, 64, 1)
     assert seen["recorded"] is True and seen["pixel_chunk"] is None
 
-    # Tiny budget: the auto chunk engages without the caller asking.
+    # Tiny budget on a tiny image: the 8192-ray floor (one Pallas block)
+    # exceeds the whole image, so chunking correctly stays off (round-4
+    # chunk-floor contract, grad.py auto_pixel_chunk).
     monkeypatch.setattr(gradmod, "RECORD_HBM_BUDGET", 1 << 20)
     seen.clear()
     render_loss(scene, cam, target, 64, 1)
+    assert seen["pixel_chunk"] is None
+
+    # Tiny budget on an image larger than the floor: chunking engages
+    # without the caller asking, floored at one lane-aligned block.
+    seen.clear()
+    big_target = jnp.zeros((144, 256, 3))
+    render_loss(scene, cam, big_target, 256, 1)
     assert seen["pixel_chunk"] == 8192
 
     # Explicit pixel_chunk wins over the auto pick.
