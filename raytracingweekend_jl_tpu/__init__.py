@@ -32,5 +32,6 @@ from .models.scenes import (scene_2_spheres, scene_4_spheres, scene_diel_spheres
 from .grad import (render_loss, render_grads, sgd_inverse_render_step,
                    SceneGrads, resolve_grad_path)
 from .optimize import fit_scene, fit_scene_scan, movable_mask, FitResult
+from .ops.edge import render_radiance_edge, trace_edge
 
 __version__ = "0.1.0"

@@ -63,6 +63,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
               spsa_c: float = 2e-2, spsa_pairs: int = 2,
               movable: np.ndarray | None = None,
               render_kwargs: dict | None = None,
+              geom: str = "spsa", edge_kwargs: dict | None = None,
               on_step=None) -> FitResult:
     """Recover sphere centers + albedos of ``scene0`` so its render matches
     ``target`` ([H,W,3] linear radiance). Returns the fitted scene and the
@@ -71,9 +72,19 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     ``render_kwargs`` configures the DIFFERENTIABLE render used for the loss
     and albedo gradient (e.g. ``dict(recorded=True, recorded_fused=True)``
     on TPU); SPSA probes always use the fast production forward.
+
+    ``geom`` selects the GEOMETRY (center) gradient estimator:
+      - ``"spsa"`` (default): the measured hybrid above — exact AD for
+        albedo, SPSA probe pairs for centers.
+      - ``"edge"``: pure autodiff via the boundary-aware edge renderer
+        (ops/edge.py) — ONE value_and_grad supplies both albedo (interior)
+        and center (interior + silhouette boundary) gradients; no probes.
+        ``edge_kwargs`` forwards ``sigma`` / ``sigma_px`` / ``edge_bounces``.
     """
     import optax
 
+    if geom not in ("spsa", "edge"):
+        raise ValueError(f"geom must be 'spsa' or 'edge', got {geom!r}")
     H = target.shape[0]
     # Empty/None render_kwargs defer to grad.resolve_grad_path's backend
     # auto-pick (the persistent-record pair on TPU — 5x the XLA recorded
@@ -92,13 +103,27 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
         {"center": "center", "albedo": "albedo"})
     opt_state = opt.init(params)
 
-    def step_loss(p):
-        # Centers are fit by SPSA (their AD gradient is discarded), so the
-        # backward pass need not build their cotangent chain at all.
-        s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
-                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
-        return render_loss(s, cam, target, image_width, n_samples,
-                           seed=seed, **tkw)
+    if geom == "edge":
+        from .ops.edge import render_radiance_edge
+        ekw = dict(edge_kwargs or {})
+
+        def step_loss(p):
+            # Boundary-aware AD: centers keep their cotangent chain — the
+            # edge renderer's straight-through silhouette terms make it
+            # descend where interior-only AD walks uphill (ops/edge.py).
+            s = scene0._replace(center=p["center"],
+                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            img = render_radiance_edge(s, cam, image_width, n_samples,
+                                       image_height=H, seed=seed, **ekw)
+            return jnp.mean((img - target) ** 2)
+    else:
+        def step_loss(p):
+            # Centers are fit by SPSA (their AD gradient is discarded), so
+            # the backward pass need not build their cotangent chain at all.
+            s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
+                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            return render_loss(s, cam, target, image_width, n_samples,
+                               seed=seed, **tkw)
 
     # ONE program per step: on the axon tunnel every separate dispatch costs
     # ~15-30 ms, so the whole value_and_grad (all chunks + loss glue) is
@@ -136,7 +161,9 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     for i in range(steps):
         t0 = time.time()
         loss, g = vg(params)
-        g = {"center": spsa_center_grad(params), "albedo": g["albedo"] * mov}
+        g_center = (g["center"] * mov if geom == "edge"
+                    else spsa_center_grad(params))
+        g = {"center": g_center, "albedo": g["albedo"] * mov}
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         loss = float(loss)  # host fetch = sync
@@ -156,7 +183,9 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
                    lr_albedo: float = 2e-2, lr_center: float = 8e-3,
                    spsa_c: float = 2e-2, spsa_pairs: int = 2,
                    movable: np.ndarray | None = None,
-                   render_kwargs: dict | None = None) -> FitResult:
+                   render_kwargs: dict | None = None,
+                   geom: str = "spsa",
+                   edge_kwargs: dict | None = None) -> FitResult:
     """:func:`fit_scene` as ONE jitted ``lax.scan`` — the whole optimization
     (value_and_grad + SPSA probes + Adam) runs on device in a single
     dispatch, so the per-step tunnel round-trips (~5 dispatches x ~20 ms on
@@ -164,9 +193,13 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     once. Differences from :func:`fit_scene`: SPSA Rademacher draws come
     from a jax.random stream (statistically identical), and there is no
     per-step host callback — split into several scans to checkpoint
-    mid-run. Returns the fitted scene and the full loss trajectory."""
+    mid-run. Returns the fitted scene and the full loss trajectory.
+    ``geom``/``edge_kwargs`` as in :func:`fit_scene` (``"edge"`` = pure-AD
+    boundary-aware gradients, no SPSA probes)."""
     import optax
 
+    if geom not in ("spsa", "edge"):
+        raise ValueError(f"geom must be 'spsa' or 'edge', got {geom!r}")
     H = target.shape[0]
     tkw = dict(render_kwargs) if render_kwargs else {}
     seed = tkw.pop("seed", seed)
@@ -180,12 +213,23 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
         {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)},
         {"center": "center", "albedo": "albedo"})
 
-    def step_loss(p):
-        # Centers come from SPSA; skip their AD cotangent chain.
-        s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
-                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
-        return render_loss(s, cam, target, image_width, n_samples,
-                           seed=seed, **tkw)
+    if geom == "edge":
+        from .ops.edge import render_radiance_edge
+        ekw = dict(edge_kwargs or {})
+
+        def step_loss(p):
+            s = scene0._replace(center=p["center"],
+                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            img = render_radiance_edge(s, cam, image_width, n_samples,
+                                       image_height=H, seed=seed, **ekw)
+            return jnp.mean((img - target) ** 2)
+    else:
+        def step_loss(p):
+            # Centers come from SPSA; skip their AD cotangent chain.
+            s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
+                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            return render_loss(s, cam, target, image_width, n_samples,
+                               seed=seed, **tkw)
 
     def fwd_loss(center, albedo):
         s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1))
@@ -196,20 +240,23 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     def one_step(carry, _):
         params, opt_state, key = carry
         loss, g = jax.value_and_grad(step_loss)(params)
-        g_center = jnp.zeros_like(params["center"])
-        for j in range(spsa_pairs):
-            key, sub = jax.random.split(key)
-            delta = (jax.random.bernoulli(
-                sub, 0.5, params["center"].shape).astype(jnp.float32)
-                * 2.0 - 1.0) * mov
-            lp = fwd_loss(params["center"] + spsa_c * delta,
-                          params["albedo"])
-            lm = fwd_loss(params["center"] - spsa_c * delta,
-                          params["albedo"])
-            g_center = g_center + (lp - lm) / (2.0 * spsa_c) * delta
-        # max(, 1): spsa_pairs=0 (albedo-only fit) leaves g_center zero.
-        g = {"center": g_center / max(spsa_pairs, 1),
-             "albedo": g["albedo"] * mov}
+        if geom == "edge":
+            g_center = g["center"] * mov
+        else:
+            g_center = jnp.zeros_like(params["center"])
+            for j in range(spsa_pairs):
+                key, sub = jax.random.split(key)
+                delta = (jax.random.bernoulli(
+                    sub, 0.5, params["center"].shape).astype(jnp.float32)
+                    * 2.0 - 1.0) * mov
+                lp = fwd_loss(params["center"] + spsa_c * delta,
+                              params["albedo"])
+                lm = fwd_loss(params["center"] - spsa_c * delta,
+                              params["albedo"])
+                g_center = g_center + (lp - lm) / (2.0 * spsa_c) * delta
+            # max(, 1): spsa_pairs=0 (albedo-only fit) leaves it zero.
+            g_center = g_center / max(spsa_pairs, 1)
+        g = {"center": g_center, "albedo": g["albedo"] * mov}
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key), loss

@@ -120,19 +120,19 @@ def strip_path(directory: str, process_index: int | None = None) -> str:
     return os.path.join(directory, f"strip_{idx:05d}.npz")
 
 
-def write_host_strip(image, image_height: int, image_width: int,
-                     tile_size: int, directory: str) -> tuple[int, int]:
-    """Save THIS host's pixel strip of a (possibly globally-sharded) image.
+def local_strip(image, image_height: int, image_width: int,
+                tile_size: int) -> tuple[int, int, np.ndarray]:
+    """THIS host's pixel strip ``(start, stop, [stop-start, 3])`` of a
+    (possibly globally-sharded) [H, W, 3] image.
 
-    ``image`` is the [H, W, 3] render result. Only locally-addressable shard
-    data is fetched (no collective, no cross-host gather). The strip range is
-    whatever pixel rows this process actually holds — the compiler may
-    re-balance the output sharding away from the tile layout (observed: a
-    5/4-tile split re-sharded to even rows), so the addressable shards, not
-    ``host_local_rows``, are the ground truth. If the local data covers the
-    whole image (replicated output / single process), the process writes its
-    ``host_local_rows`` share so strips still partition the image. Returns
-    the [start, stop) pixel range written.
+    Only locally-addressable shard data is fetched (no collective, no
+    cross-host gather). The strip range is whatever pixel rows this process
+    actually holds — the compiler may re-balance the output sharding away
+    from the tile layout (observed: a 5/4-tile split re-sharded to even
+    rows), so the addressable shards, not ``host_local_rows``, are the
+    ground truth. If the local data covers the whole image (replicated
+    output / single process), the process takes its ``host_local_rows``
+    share so strips still partition the image.
     """
     n_pix = image_height * image_width
     if isinstance(image, jax.Array) and not image.is_fully_addressable:
@@ -156,12 +156,26 @@ def write_host_strip(image, image_height: int, image_width: int,
             if not mask[start:stop].all():
                 raise ValueError("host-local shards are not a contiguous "
                                  "pixel range; cannot write a strip")
-        strip = flat[start:stop]
-    else:
-        start, stop = host_local_rows(image_height, image_width, tile_size)
-        strip = np.asarray(image, np.float32).reshape(n_pix, 3)[start:stop]
+        return start, stop, flat[start:stop]
+    start, stop = host_local_rows(image_height, image_width, tile_size)
+    return start, stop, np.asarray(image, np.float32).reshape(
+        n_pix, 3)[start:stop]
+
+
+def write_host_strip(image, image_height: int, image_width: int,
+                     tile_size: int, directory: str,
+                     strip: tuple[int, int, np.ndarray] | None = None
+                     ) -> tuple[int, int]:
+    """Save THIS host's pixel strip of a (possibly globally-sharded) image
+    (see :func:`local_strip`). ``strip`` short-circuits the extraction when
+    the caller already holds ``(start, stop, data)`` — the checkpointed
+    driver accumulates strips on the host across spp chunks. Returns the
+    [start, stop) pixel range written."""
+    start, stop, data = (local_strip(image, image_height, image_width,
+                                     tile_size) if strip is None else strip)
     os.makedirs(directory, exist_ok=True)
-    np.savez(strip_path(directory), start=start, stop=stop, strip=strip,
+    np.savez(strip_path(directory), start=start, stop=stop,
+             strip=np.asarray(data, np.float32),
              image_height=image_height, image_width=image_width)
     return start, stop
 

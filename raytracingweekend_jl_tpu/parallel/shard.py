@@ -62,7 +62,7 @@ def _padded_coords(image_width: int, image_height: int, tile_size: int,
                                    "tmin", "remat", "compact",
                                    "samples_per_pass", "persistent",
                                    "recorded", "recorded_fused",
-                                   "recorded_persist"))
+                                   "recorded_persist", "reduce_mean"))
 def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       mesh: Mesh, image_width: int, image_height: int,
                       n_samples: int, tile_size: int, max_depth: int,
@@ -71,7 +71,9 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
                       persistent: bool = False,
                       recorded: bool = False,
                       recorded_fused: bool = False,
-                      recorded_persist: tuple | None = None) -> jnp.ndarray:
+                      recorded_persist: tuple | None = None,
+                      sample_offset=0,
+                      reduce_mean: bool = True) -> jnp.ndarray:
     dtype = cam.origin.dtype
     n_tile_shards = mesh.shape[TILES_AXIS]
     n_sample_shards = mesh.shape[SAMPLES_AXIS]
@@ -89,7 +91,10 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
     def shard_fn(scene, cam, key, u_loc, v_loc):
         tile_shard = jax.lax.axis_index(TILES_AXIS)
         sample_shard = jax.lax.axis_index(SAMPLES_AXIS)
-        sample_offset = sample_shard * local_spp
+        # Global first-sample id of this shard: the caller's offset (spp-
+        # chunked checkpointing renders chunk c at offset c*spp_chunk so the
+        # union over chunks is sample-exact) plus the sample-shard offset.
+        shard_offset = sample_offset + sample_shard * local_spp
 
         u_tiles = u_loc.reshape(tiles_per_shard, tile_size)
         v_tiles = v_loc.reshape(tiles_per_shard, tile_size)
@@ -101,7 +106,7 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
             # Tiles are contiguous row-major pixel ranges, so the persistent
             # TPU path can run the load-balanced strided integrator per shard.
             tile_sum = render_tile_sum(scene, cam, u_tiles[i], v_tiles[i],
-                                       tile_key, local_spp, sample_offset,
+                                       tile_key, local_spp, shard_offset,
                                        max_depth, tmin, remat, f32_w, f32_h,
                                        compact, samples_per_pass, persistent,
                                        pixel_start=global_tile * tile_size,
@@ -124,7 +129,8 @@ def _sharded_radiance(scene: Scene, cam: Camera, key: jax.Array, *,
         check_vma=False,
     )(scene, cam, key, u, v)
     n_pix = image_width * image_height
-    return (out[:n_pix] / n_samples).reshape(image_height, image_width, 3)
+    out = out[:n_pix].reshape(image_height, image_width, 3)
+    return out / n_samples if reduce_mean else out
 
 
 def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
@@ -139,12 +145,18 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                             rays_per_pass: int | None = None,
                             recorded: bool = False,
                             recorded_fused: bool = False,
-                            recorded_persist: tuple | None = None
+                            recorded_persist: tuple | None = None,
+                            sample_offset: int = 0,
+                            reduce_mean: bool = True
                             ) -> jnp.ndarray:
     """Mesh-sharded linear radiance ``[H,W,3]`` — the multi-chip ``render``.
 
     ``compact``/``rays_per_pass`` mirror the single-chip driver: forward-only
     active-ray compaction and merged pixels-x-samples wavefronts per shard.
+    ``sample_offset``/``reduce_mean=False`` serve the spp-chunked checkpoint
+    driver (utils/checkpoint.render_checkpointed_sharded): chunk c renders
+    global samples [offset, offset+n) and returns the radiance SUM so chunks
+    accumulate sample-exactly.
     """
     H = image_height if image_height is not None else image_height_for(image_width)
     key = seed if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key) \
@@ -160,7 +172,9 @@ def render_radiance_sharded(scene: Scene, cam: Camera, image_width: int = 400,
                              tmin=tmin, remat=remat, compact=compact,
                              samples_per_pass=spp_pass, persistent=persistent,
                              recorded=recorded, recorded_fused=recorded_fused,
-                             recorded_persist=recorded_persist)
+                             recorded_persist=recorded_persist,
+                             sample_offset=sample_offset,
+                             reduce_mean=reduce_mean)
 
 
 def _auto_grad_mode(backend: str, tile_size: int) -> str:

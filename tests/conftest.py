@@ -23,10 +23,15 @@ import pytest
 #: round 4: 613 s total for 242 tests). The default profile (pyproject
 #: addopts -m "not slow") skips them for a <5-minute iteration loop; CI and
 #: pre-release runs use the FULL suite: pytest -m "slow or not slow".
-#: Two cheap sentinels stay fast on purpose so the default profile still
-#: exercises a kernel-pair forward and an FD gradient check:
-#: test_persist_forward_matches_twin, test_grad_albedo_matches_fd.
+#: Three cheap sentinels stay fast on purpose so the default profile still
+#: exercises a kernel-pair forward, an FD gradient check, and the boundary
+#: (edge) estimator: test_persist_forward_matches_twin,
+#: test_grad_albedo_matches_fd, test_edge_center_gradient_matches_fd.
 SLOW_TESTS = {
+    "test_fit_scene_edge_ad_descends_geometry",
+    "test_edge_primal_bitwise_matches_keyed_trace",
+    "test_edge_handles_metal_and_auto_sigma",
+    "test_edge_radius_gradient_sign",
     "test_elastic_survives_persistent_device_fault",
     "test_persist_rec_attrs_off_bitwise_equal",
     "test_remat_passes_auto_and_fd",
