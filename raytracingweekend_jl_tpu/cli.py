@@ -115,38 +115,70 @@ def run(cfg: RenderConfig) -> dict:
 
     t0 = time.time()
     phases = None
-    if cfg.multihost:
+    if cfg.multihost or (cfg.spp_chunk > 0
+                         and cfg.mesh_tiles * cfg.mesh_samples > 1):
+        # Sharded render, optionally spp-chunk-checkpointed — the branches
+        # COMPOSE (round-4 verdict #3: a pod render must both shard and
+        # resume): --multihost [--spp-chunk --checkpoint], or
+        # --mesh-tiles/--mesh-samples with --spp-chunk.
         import jax
         from .parallel import multihost
         from .parallel.shard import render_radiance_sharded
-        try:
-            multihost.initialize()  # auto-detect cluster env; no-op single-proc
-        except (RuntimeError, ValueError) as e:
-            if multihost.cluster_env_hint():
-                # A real multi-process launch that fails to connect must NOT
-                # degrade: N disconnected processes would each render the
-                # full image and race on the same output file (ADVICE r3).
-                raise SystemExit(
-                    "multihost init failed on a detected cluster launch: "
-                    f"{e!r}") from e
-            # Mis-detected metadata must degrade to single-process, not die.
-            print(json.dumps({"multihost_init_skipped": repr(e)[:160]}))
-        mesh = multihost.make_multihost_mesh(n_samples_axis=cfg.mesh_samples)
+        if cfg.multihost:
+            try:
+                multihost.initialize()  # auto-detect cluster; no-op 1-proc
+            except (RuntimeError, ValueError) as e:
+                if multihost.cluster_env_hint():
+                    # A real multi-process launch that fails to connect must
+                    # NOT degrade: N disconnected processes would each render
+                    # the full image and race on the same output (ADVICE r3).
+                    raise SystemExit(
+                        "multihost init failed on a detected cluster launch: "
+                        f"{e!r}") from e
+                # Mis-detected metadata degrades to single-process, not die.
+                print(json.dumps({"multihost_init_skipped": repr(e)[:160]}))
+            mesh = multihost.make_multihost_mesh(
+                n_samples_axis=cfg.mesh_samples)
+        else:
+            from .parallel.mesh import make_render_mesh
+            n_mesh = cfg.mesh_tiles * cfg.mesh_samples
+            mesh = make_render_mesh(n_tiles=cfg.mesh_tiles,
+                                    n_samples=cfg.mesh_samples,
+                                    devices=jax.devices()[:n_mesh])
         H2 = cfg.image_height or image_height_for(cfg.image_width)
-        img_sharded = render_radiance_sharded(
-            scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
-            image_height=cfg.image_height, tile_size=cfg.tile_size,
-            max_depth=cfg.max_depth, tmin=cfg.tmin, seed=cfg.seed)
+        strip = None
+        if cfg.spp_chunk > 0:
+            from .utils.checkpoint import render_checkpointed_sharded
+            from .utils.metrics import PhaseTimer
+            timer = PhaseTimer()
+            state = render_checkpointed_sharded(
+                scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
+                image_height=cfg.image_height, seed=cfg.seed,
+                spp_chunk=cfg.spp_chunk, checkpoint_path=cfg.checkpoint_path,
+                tile_size=cfg.tile_size, max_depth=cfg.max_depth,
+                tmin=cfg.tmin, persistent=cfg.persistent,
+                rays_per_pass=cfg.rays_per_pass, progress=True, timer=timer)
+            phases = timer.as_dict()
+            strip = (state.start, state.stop,
+                     state.strip_image.astype(np.float32))
+            img_sharded = None
+        else:
+            img_sharded = render_radiance_sharded(
+                scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
+                image_height=cfg.image_height, tile_size=cfg.tile_size,
+                max_depth=cfg.max_depth, tmin=cfg.tmin, seed=cfg.seed)
         if jax.process_count() > 1:
             # Per-host strip IO: each process writes only its own shard.
             strip_dir = cfg.strip_dir or cfg.output + ".strips"
             multihost.write_host_strip(img_sharded, H2, cfg.image_width,
-                                       cfg.tile_size, strip_dir)
+                                       cfg.tile_size, strip_dir, strip=strip)
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("rtw_strips_written")
             if jax.process_index() != 0:
                 return {"proc": jax.process_index(), "strips": strip_dir}
             linear = multihost.assemble_strips(strip_dir)
+        elif strip is not None:
+            linear = state.image
         else:
             linear = np.asarray(img_sharded)
     elif cfg.spp_chunk > 0:

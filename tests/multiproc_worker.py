@@ -69,11 +69,34 @@ def main() -> None:
     loss = float(np.asarray(loss.addressable_shards[0].data))
     alb = np.asarray(updated.albedo.addressable_shards[0].data)
 
+    # Checkpoint x multi-process composition (round-4 verdict #3): each
+    # process snapshots only ITS strip; interrupt + resume must equal one
+    # uninterrupted chunked run bitwise, across the real process boundary.
+    ck_ok = None
+    if strip_dir:
+        from raytracingweekend_jl_tpu.utils.checkpoint import (
+            render_checkpointed_sharded)
+        ck = os.path.join(strip_dir, "ck.npz")
+        full_st = render_checkpointed_sharded(
+            scene, cam, W, 4, mesh=mesh, image_height=H, spp_chunk=2,
+            tile_size=tile, seed=11)
+        render_checkpointed_sharded(
+            scene, cam, W, 2, mesh=mesh, image_height=H, spp_chunk=2,
+            tile_size=tile, seed=11, checkpoint_path=ck)
+        res_st = render_checkpointed_sharded(
+            scene, cam, W, 4, mesh=mesh, image_height=H, spp_chunk=2,
+            tile_size=tile, seed=11, checkpoint_path=ck)
+        ck_ok = bool(np.array_equal(full_st.strip_sum, res_st.strip_sum)
+                     and (full_st.start, full_st.stop)
+                     == (res_st.start, res_st.stop)
+                     and res_st.samples_done == 4)
+
     out = {"proc": proc_id,
            "n_devices": jax.device_count(),
            "n_local": jax.local_device_count(),
            "strip_start": start, "strip_stop": stop,
            "loss": loss,
+           "ckpt_resume_bitwise": ck_ok,
            "albedo00": float(alb.reshape(-1)[0])}
     if proc_id == 0:
         out["image"] = full.reshape(H, W, 3).tolist()

@@ -84,6 +84,11 @@ def test_two_process_distributed_render_and_train(tmp_path):
     assert (strips[0][1] - strips[0][0]) == 5 * 256
     assert (strips[1][1] - strips[1][0]) == 4 * 256  # remainder strip
 
+    # Checkpoint x multi-process: per-strip snapshot + resume was bitwise
+    # equal to the uninterrupted chunked run on BOTH processes.
+    for o in outs:
+        assert o["ckpt_resume_bitwise"] is True
+
     # Replicated results agree across processes (the collectives worked).
     assert by_proc[0]["loss"] == pytest.approx(by_proc[1]["loss"], rel=1e-6)
     assert by_proc[0]["albedo00"] == pytest.approx(by_proc[1]["albedo00"],
