@@ -582,83 +582,6 @@ def persistent_render_sum_fused(scene: Scene, cam, u: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
-                                   "f32_w", "f32_h", "interpret"))
-def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
-                               v: jnp.ndarray, key: jax.Array, n_samples: int,
-                               sample_offset, max_depth: int = DEFAULT_MAX_DEPTH,
-                               tmin: float = DEFAULT_TMIN, f32_w: float = 0.0,
-                               f32_h: float = 0.0,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Persistent renderer where each bounce is ONE megakernel invocation
-    (sweep + attr select + shade + regen, ops/pallas/mega_kernel.py) and the
-    wavefront state lives in padded (rows, 128) planes across the whole loop —
-    no per-iteration one-hot, pads, reshapes, or separate kernel dispatches.
-    Semantics as persistent_render_sum; RNG as the fused shade kernel.
-    """
-    from ..camera import make_rays
-    from .sampling import concentric_disk_map, per_ray_uniforms
-    from .pallas.mega_kernel import (mega_step, plane_rows, to_planes)
-    from .pallas.shade_kernel import pack_camera_consts
-    from .. import rng as rngmod
-
-    if max_depth <= 0 or n_samples <= 0:
-        return jnp.zeros((u.shape[0], 3), u.dtype)
-
-    dtype = u.dtype
-    R = u.shape[0]
-    rows = plane_rows(R)
-    slots = jnp.arange(R, dtype=jnp.int32)
-    key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
-    cam_consts = pack_camera_consts(cam, int(f32_w), int(f32_h))
-
-    def fold2(base, a, b_):
-        k = jax.vmap(jax.random.fold_in, (None, 0))(base, a)
-        return jax.vmap(jax.random.fold_in)(k, b_)
-
-    sample_ids = jnp.full((R,), sample_offset, jnp.int32)
-    keys0 = fold2(key_cam, slots, sample_ids)
-    u4 = per_ray_uniforms(keys0, 4, dtype=dtype)
-    jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
-                       u4[:, 0:2] * jnp.asarray([1.0 / f32_w, 1.0 / f32_h], dtype))
-    disk = concentric_disk_map(u4[:, 2:4] * 2.0 - 1.0)
-    org, d = make_rays(cam, u + jit_uv[:, 0], v + jit_uv[:, 1], disk)
-
-    ones = jnp.ones((R,), dtype)
-    zer = jnp.zeros((R,), dtype)
-    active0 = jnp.ones((R,), jnp.int32)  # padding becomes 0 via to_planes pad
-    state = tuple(to_planes(x, rows) for x in (
-        org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        ones, ones, ones, zer, zer, zer,
-        jnp.zeros((R,), jnp.int32), sample_ids, active0))
-    fu_p = to_planes(u, rows)
-    fv_p = to_planes(v, rows)
-
-    last_sample = sample_offset + n_samples - 1
-    _check_film(f32_w, f32_h)
-    base_seed = _persistent_base_seed(key, sample_offset)
-
-    def cond(st):
-        state, it = st
-        return jnp.any(state[14] != 0) & (it < n_samples * max_depth)
-
-    def body(st):
-        state, it = st
-        rng_u9 = None
-        if interpret:
-            rng_u9 = jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(key, sample_offset), it),
-                (9, rows, 128))
-        state = mega_step(state, scene, cam_consts, fu_p, fv_p,
-                          base_seed + it, last_sample, max_depth, tmin,
-                          interpret=interpret, rng_u9_planes=rng_u9)
-        return state, it + 1
-
-    (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-    rad = [p.reshape(-1)[:R] for p in state[9:12]]
-    return jnp.stack(rad, axis=-1)
-
-
-@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
                                    "f32_w", "f32_h", "k", "interpret",
                                    "sample_groups"))
 def persistent_render_sum_strided(scene: Scene, cam, u: jnp.ndarray,

@@ -11,14 +11,17 @@ column slices) disappears along with the separate one-hot and shade passes.
 Semantics: identical to persistent_render_sum / the fused shade path; RNG is
 the TPU hardware PRNG exactly as in shade_kernel.py.
 
-MEASURED RESULT (v5e, flagship): 5.9 Mpaths/s vs 11.5 for the production
-pipeline (v1 sweep kernel + MXU one-hot attribute fetch + fused shade
-kernel). The in-kernel attribute running-select adds ~10 VPU selects and 7
-extra SMEM scalar loads to every sphere iteration of the sweep — far more
-expensive than the one-hot contraction it replaces, which rides the
-otherwise-idle MXU. Kept as a validated experiment and a baseline for future
-sweep-side work (e.g. per-block sphere culling would shrink exactly the loop
-this kernel lengthens); NOT the default.
+MEASURED RESULT — retired to experimental/ (round-5 verdict run,
+bench_history ``mega_verdict_*`` rows, v5e flagship 1920x1080x4spp):
+**5.08 Mpaths/s vs 43.3 for the strided production forward** (and 5.9 vs
+11.5 against the older pixel-pinned pipeline in round 2). The in-kernel
+attribute running-select adds ~10 VPU selects and 7 extra SMEM scalar
+loads to every sphere iteration of the sweep — far more expensive than
+the one-hot contraction it replaces (which rides the otherwise-idle MXU)
+— and the pixel-pinned persistent loop lacks the strided path's k-pixel
+load balancing. Kept as a validated experiment and a baseline for future
+sweep-side work (per-block sphere culling would shrink exactly the loop
+this kernel lengthens); reachable via scripts/mega_bench.py.
 """
 
 from __future__ import annotations
@@ -30,10 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...scene import Scene
-from ..intersect import BIG
-from .intersect_kernel import LANES, _pad_rows
-from .shade_kernel import _shade_math, _uniforms
+from ....scene import Scene
+from ...intersect import BIG
+from ..intersect_kernel import LANES, _pad_rows
+from ..shade_kernel import _shade_math, _uniforms
 
 #: Rays per program instance.
 MEGA_ROWS = 64
@@ -170,3 +173,87 @@ def plane_rows(n: int) -> int:
 
 def to_planes(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return _pad_rows(x, rows)
+
+
+# ---------------------------------------------------------------------------
+# Driver (moved here from ops/integrator.py with the kernel, round 5)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples", "max_depth", "tmin",
+                                   "f32_w", "f32_h", "interpret"))
+def persistent_render_sum_mega(scene: Scene, cam, u: jnp.ndarray,
+                               v: jnp.ndarray, key: jax.Array, n_samples: int,
+                               sample_offset, max_depth: int = 16,
+                               tmin: float = 1e-4, f32_w: float = 0.0,
+                               f32_h: float = 0.0,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Persistent renderer where each bounce is ONE megakernel invocation
+    (sweep + attr select + shade + regen) and the wavefront state lives in
+    padded (rows, 128) planes across the whole loop — no per-iteration
+    one-hot, pads, reshapes, or separate kernel dispatches. Semantics as
+    persistent_render_sum; RNG as the fused shade kernel. See the module
+    docstring for the measured negative verdict that retired it here.
+    """
+    from ....camera import make_rays
+    from ...sampling import concentric_disk_map, per_ray_uniforms
+    from ..shade_kernel import pack_camera_consts
+    from ...integrator import _check_film, _persistent_base_seed
+    from .... import rng as rngmod
+
+    if max_depth <= 0 or n_samples <= 0:
+        return jnp.zeros((u.shape[0], 3), u.dtype)
+
+    dtype = u.dtype
+    R = u.shape[0]
+    rows = plane_rows(R)
+    slots = jnp.arange(R, dtype=jnp.int32)
+    key_cam = rngmod.purpose_key(key, rngmod.PIXEL_JITTER)
+    cam_consts = pack_camera_consts(cam, int(f32_w), int(f32_h))
+
+    def fold2(base, a, b_):
+        k = jax.vmap(jax.random.fold_in, (None, 0))(base, a)
+        return jax.vmap(jax.random.fold_in)(k, b_)
+
+    sample_ids = jnp.full((R,), sample_offset, jnp.int32)
+    keys0 = fold2(key_cam, slots, sample_ids)
+    u4 = per_ray_uniforms(keys0, 4, dtype=dtype)
+    jit_uv = jnp.where((sample_ids == 0)[:, None], 0.0,
+                       u4[:, 0:2] * jnp.asarray([1.0 / f32_w, 1.0 / f32_h],
+                                                dtype))
+    disk = concentric_disk_map(u4[:, 2:4] * 2.0 - 1.0)
+    org, d = make_rays(cam, u + jit_uv[:, 0], v + jit_uv[:, 1], disk)
+
+    ones = jnp.ones((R,), dtype)
+    zer = jnp.zeros((R,), dtype)
+    active0 = jnp.ones((R,), jnp.int32)  # padding becomes 0 via to_planes pad
+    state = tuple(to_planes(x, rows) for x in (
+        org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        ones, ones, ones, zer, zer, zer,
+        jnp.zeros((R,), jnp.int32), sample_ids, active0))
+    fu_p = to_planes(u, rows)
+    fv_p = to_planes(v, rows)
+
+    last_sample = sample_offset + n_samples - 1
+    _check_film(f32_w, f32_h)
+    base_seed = _persistent_base_seed(key, sample_offset)
+
+    def cond(st):
+        state, it = st
+        return jnp.any(state[14] != 0) & (it < n_samples * max_depth)
+
+    def body(st):
+        state, it = st
+        rng_u9 = None
+        if interpret:
+            rng_u9 = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, sample_offset),
+                                   it),
+                (9, rows, 128))
+        state = mega_step(state, scene, cam_consts, fu_p, fv_p,
+                          base_seed + it, last_sample, max_depth, tmin,
+                          interpret=interpret, rng_u9_planes=rng_u9)
+        return state, it + 1
+
+    (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    rad = [p.reshape(-1)[:R] for p in state[9:12]]
+    return jnp.stack(rad, axis=-1)

@@ -71,7 +71,8 @@ def test_fused_depth_semantics():
 
 
 def run_mega(scene, cam, W=48, H=27, spp=4, max_depth=16):
-    from raytracingweekend_jl_tpu.ops.integrator import persistent_render_sum_mega
+    from raytracingweekend_jl_tpu.ops.pallas.experimental.mega_kernel import (
+        persistent_render_sum_mega)
     u, v = pixel_coords(W, H)
     return np.asarray(persistent_render_sum_mega(
         scene, cam, u, v, KEY, spp, 0, max_depth, 1e-4,
