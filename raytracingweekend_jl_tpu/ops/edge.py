@@ -328,23 +328,32 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
                          seed: int | jax.Array = 0,
                          sigma: float | None = None,
                          sigma_px: float = 1.0,
-                         edge_bounces: int = 2) -> jnp.ndarray:
+                         edge_bounces: int = 2,
+                         pixel_chunk: int | None = None) -> jnp.ndarray:
     """Boundary-aware differentiable render ``[H,W,3]`` (linear radiance).
 
     Sampling conventions mirror render.py's pass loop (centered global
     sample 0, U[0,1)/W|H jitter, LENS/SCATTER purpose keys) so the primal
     agrees statistically with the production forward; the gradient carries
     silhouette boundary terms for the first ``edge_bounces`` bounces. One
-    pass per sample (this is a geometry-fit path, not the throughput
-    path)."""
+    pass per sample (this is a geometry-fit path, not the throughput path).
+
+    ``pixel_chunk`` bounds the [R, N] silhouette sweep's working set (the
+    edge path materializes ~6 ray-x-sphere planes): a flagship 512-sphere
+    scene at 230k rays is ~2.8 GB unchunked. Chunk RNG folds the chunk id,
+    so chunked and unchunked renders agree statistically, not bitwise.
+    """
     import numpy as np
     from .. import rng
     from ..camera import get_rays
     from ..render import pixel_coords, image_height_for
+    from ..scene import trim_scene
 
+    scene = trim_scene(scene)
     H = (image_height if image_height is not None
          else image_height_for(image_width))
     W = image_width
+    n_pix = H * W
     dtype = cam.origin.dtype
     u, v = pixel_coords(W, H, dtype=dtype)
     key = (seed if isinstance(seed, jax.Array)
@@ -353,17 +362,30 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
                          1.0 / float(np.float32(H))], dtype)
     pa = None if sigma is not None else pixel_angle(cam, float(np.float32(H)))
 
-    acc = jnp.zeros((H * W, 3), dtype)
-    for s0 in range(n_samples):
-        key_p = jax.random.fold_in(key, s0)
-        jit_uv = jax.random.uniform(
-            rng.purpose_key(key_p, rng.PIXEL_JITTER), (H * W, 2), dtype=dtype)
-        jit_uv = jnp.where(s0 == 0, 0.0, jit_uv * scale)
-        o, d = get_rays(cam, u + jit_uv[:, 0], v + jit_uv[:, 1],
-                        rng.purpose_key(key_p, rng.LENS))
-        acc = acc + trace_edge(scene, o, d,
-                               rng.purpose_key(key_p, rng.SCATTER_DIR),
-                               max_depth=max_depth, tmin=tmin, sigma=sigma,
-                               sigma_px=sigma_px, pix_angle=pa,
-                               edge_bounces=edge_bounces)
-    return (acc / n_samples).reshape(H, W, 3)
+    if pixel_chunk is None or pixel_chunk >= n_pix:
+        chunks = [(slice(0, n_pix), key)]
+    else:
+        n_chunks = -(-n_pix // pixel_chunk)
+        chunks = [(slice(c * pixel_chunk, min((c + 1) * pixel_chunk, n_pix)),
+                   jax.random.fold_in(key, c)) for c in range(n_chunks)]
+
+    pieces = []
+    for sl, ckey in chunks:
+        uc, vc = u[sl], v[sl]
+        acc = jnp.zeros((uc.shape[0], 3), dtype)
+        for s0 in range(n_samples):
+            key_p = jax.random.fold_in(ckey, s0)
+            jit_uv = jax.random.uniform(
+                rng.purpose_key(key_p, rng.PIXEL_JITTER),
+                (uc.shape[0], 2), dtype=dtype)
+            jit_uv = jnp.where(s0 == 0, 0.0, jit_uv * scale)
+            o, d = get_rays(cam, uc + jit_uv[:, 0], vc + jit_uv[:, 1],
+                            rng.purpose_key(key_p, rng.LENS))
+            acc = acc + trace_edge(scene, o, d,
+                                   rng.purpose_key(key_p, rng.SCATTER_DIR),
+                                   max_depth=max_depth, tmin=tmin,
+                                   sigma=sigma, sigma_px=sigma_px,
+                                   pix_angle=pa, edge_bounces=edge_bounces)
+        pieces.append(acc)
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+    return (out / n_samples).reshape(H, W, 3)

@@ -41,6 +41,16 @@ BLOCK_ROWS = int(os.environ.get("RTW_BLOCK_ROWS", "64"))
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 
+#: Block rows for the occupancy-MASKED sweep only (the record phases'
+#: sweep). Finer blocks trade dense-sweep throughput (the {16,32,64}
+#: numbers above) for skip granularity: record-phase occupancy decays
+#: 1.0 -> 0.03 across the head iterations and survivors are spatially
+#: coherent, so a smaller all-dead guard can skip work the 64-row guard
+#: cannot (round-5 campaign, GRAD_HEADROOM.md). Import-time read: one
+#: value per process (A/B in fresh processes, like RTW_DATTR_GROUP).
+MASKED_BLOCK_ROWS = int(os.environ.get("RTW_MASKED_BLOCK_ROWS",
+                                       str(BLOCK_ROWS)))
+
 
 def _sweep_kernel(cx_ref, cy_ref, cz_ref, ck_ref,  # [N] scalar-prefetch SMEM
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray tiles
@@ -176,8 +186,9 @@ def sweep_masked_planes(o3: tuple, d3: tuple, alive_plane, centers, radius,
     rows = o3[0].shape[0]
     ck = jnp.sum(centers * centers, axis=-1) - radius * radius
     n_spheres = centers.shape[0]
-    rows_p = -(-rows // BLOCK_ROWS) * BLOCK_ROWS  # grid must cover all rows
-    grid = rows_p // BLOCK_ROWS
+    br = MASKED_BLOCK_ROWS
+    rows_p = -(-rows // br) * br  # grid must cover all rows
+    grid = rows_p // br
 
     def padp(p):
         if rows_p == rows:
@@ -186,7 +197,7 @@ def sweep_masked_planes(o3: tuple, d3: tuple, alive_plane, centers, radius,
             [p, jnp.zeros((rows_p - rows, LANES), p.dtype)], axis=0)
 
     ray_planes = [padp(p) for p in (*o3, *d3, alive_plane.astype(jnp.int32))]
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_refs: (i, 0),
+    ray_spec = pl.BlockSpec((br, LANES), lambda i, *_refs: (i, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

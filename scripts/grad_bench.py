@@ -243,7 +243,8 @@ def main() -> None:
     # default config — suffixing it would stop that session from
     # refreshing the headline row (ADVICE r4).
     _knob_defaults = {"RTW_DATTR_GROUP": "8", "RTW_REPLAY_FUSED": "1",
-                      "RTW_PERSIST_BLOCK_ROWS": None}
+                      "RTW_PERSIST_BLOCK_ROWS": None,
+                      "RTW_MASKED_BLOCK_ROWS": None}
     _knobs = "".join(f"_{k.lower().replace('rtw_', '')}{os.environ[k]}"
                      for k, dflt in _knob_defaults.items()
                      if k in os.environ and os.environ[k] != dflt)
