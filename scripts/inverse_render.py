@@ -52,6 +52,16 @@ def main() -> None:
     ap.add_argument("--center-jitter", type=float, default=0.12)
     ap.add_argument("--albedo-scale", type=float, default=0.55)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--geom", default="spsa", choices=["spsa", "edge"],
+                    help="center-gradient estimator: SPSA probes (the "
+                         "measured hybrid) or pure-AD boundary-aware edge "
+                         "gradients (ops/edge.py)")
+    ap.add_argument("--edge-sigma", type=float, default=None,
+                    help="edge band half-width in scene units (default: "
+                         "per-ray pixel footprint)")
+    ap.add_argument("--edge-bounces", type=int, default=1)
+    ap.add_argument("--edge-chunk", type=int, default=None,
+                    help="pixel chunk bounding the [R,N] silhouette sweep")
     ap.add_argument("--scan", action="store_true",
                     help="run the whole fit as ONE jitted lax.scan "
                          "(optimize.fit_scene_scan) — pays the tunnel "
@@ -146,13 +156,18 @@ def main() -> None:
                 cam, W, spp, image_height=H, seed=args.seed, **tkw),
                 "midway.png")
 
+    ekw = dict(sigma=args.edge_sigma, sigma_px=1.5,
+               edge_bounces=args.edge_bounces)
+    if args.edge_chunk:
+        ekw["pixel_chunk"] = args.edge_chunk
     t_all0 = time.time()
     if args.scan:
         from raytracingweekend_jl_tpu.optimize import fit_scene_scan
         res = fit_scene_scan(scene0, cam, target, W, spp, steps=args.steps,
                              seed=args.seed, lr_albedo=args.lr,
                              lr_center=args.lr_center, spsa_c=args.spsa_c,
-                             spsa_pairs=args.spsa_pairs, render_kwargs=tkw)
+                             spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                             geom=args.geom, edge_kwargs=ekw)
         lf.write("\n".join(json.dumps({"step": i, "loss": l})
                             for i, l in enumerate(res.losses)) + "\n")
     else:
@@ -160,6 +175,7 @@ def main() -> None:
                         seed=args.seed, lr_albedo=args.lr,
                         lr_center=args.lr_center, spsa_c=args.spsa_c,
                         spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                        geom=args.geom, edge_kwargs=ekw,
                         on_step=on_step)
     lf.close()
     losses = res.losses
@@ -188,7 +204,8 @@ def main() -> None:
            "label": (f"inverse_{args.scene}"
                      + (f"_g{args.grid_half}" if args.grid_half else "")
                      + f"_{W}x{H}x{spp}_{args.steps}steps"
-                     + ("_scan" if args.scan else "")),
+                     + ("_scan" if args.scan else "")
+                     + ("_edge" if args.geom == "edge" else "")),
            "loss_init": round(losses[0], 6), "loss_final": round(losses[-1], 6),
            "loss_min": round(steady[0], 6),
            "center_err_init": round(c_err0, 4),
