@@ -60,6 +60,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
               image_width: int, n_samples: int, *,
               steps: int = 100, seed: int = 0,
               lr_albedo: float = 2e-2, lr_center: float = 8e-3,
+              lr_fuzz: float = 0.0,
               spsa_c: float = 2e-2, spsa_pairs: int = 2,
               movable: np.ndarray | None = None,
               render_kwargs: dict | None = None,
@@ -80,6 +81,10 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
         (ops/edge.py) — ONE value_and_grad supplies both albedo (interior)
         and center (interior + silhouette boundary) gradients; no probes.
         ``edge_kwargs`` forwards ``sigma`` / ``sigma_px`` / ``edge_bounces``.
+
+    ``lr_fuzz > 0`` additionally fits metal fuzz (exact interior AD — fuzz
+    never moves silhouettes; masked to movable METAL spheres, clipped to
+    the reference's unclamped-but-nonnegative domain src/scenes.jl:70).
     """
     import optax
 
@@ -97,11 +102,24 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     mov = jnp.asarray(movable)[:, None]
     mov_np = np.asarray(movable)[:, None]
 
+    from .scene import METAL
+    fit_fuzz = lr_fuzz > 0
+    fuzz_mask = jnp.asarray(movable
+                            & (np.asarray(scene0.mat) == METAL), jnp.float32)
     params = {"center": scene0.center, "albedo": scene0.albedo}
-    opt = optax.multi_transform(
-        {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)},
-        {"center": "center", "albedo": "albedo"})
+    lrs = {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)}
+    if fit_fuzz:
+        params["fuzz"] = scene0.fuzz
+        lrs["fuzz"] = optax.adam(lr_fuzz)
+    opt = optax.multi_transform(lrs, {k: k for k in lrs})
     opt_state = opt.init(params)
+
+    def _scene_of(p, center):
+        s = scene0._replace(center=center,
+                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+        if fit_fuzz:
+            s = s._replace(fuzz=jnp.maximum(p["fuzz"], 0.0))
+        return s
 
     if geom == "edge":
         from .ops.edge import render_radiance_edge
@@ -111,17 +129,15 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
             # Boundary-aware AD: centers keep their cotangent chain — the
             # edge renderer's straight-through silhouette terms make it
             # descend where interior-only AD walks uphill (ops/edge.py).
-            s = scene0._replace(center=p["center"],
-                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
-            img = render_radiance_edge(s, cam, image_width, n_samples,
+            img = render_radiance_edge(_scene_of(p, p["center"]), cam,
+                                       image_width, n_samples,
                                        image_height=H, seed=seed, **ekw)
             return jnp.mean((img - target) ** 2)
     else:
         def step_loss(p):
             # Centers are fit by SPSA (their AD gradient is discarded), so
             # the backward pass need not build their cotangent chain at all.
-            s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
-                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            s = _scene_of(p, jax.lax.stop_gradient(p["center"]))
             return render_loss(s, cam, target, image_width, n_samples,
                                seed=seed, **tkw)
 
@@ -131,8 +147,9 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     vg = jax.jit(jax.value_and_grad(step_loss))
 
     @jax.jit
-    def fwd_loss(center, albedo):
-        s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1))
+    def fwd_loss(center, albedo, fuzz):
+        s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1),
+                            fuzz=jnp.maximum(fuzz, 0.0))
         img = render_radiance(s, cam, image_width, n_samples,
                               image_height=H, seed=seed, persistent=on_tpu)
         return jnp.mean((img - target) ** 2)
@@ -152,18 +169,21 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
             delta = jnp.asarray(
                 (spsa_rng.integers(0, 2, scene0.center.shape) * 2 - 1)
                 * mov_np, jnp.float32)
-            lp = fwd_loss(p["center"] + spsa_c * delta, p["albedo"])
-            lm = fwd_loss(p["center"] - spsa_c * delta, p["albedo"])
+            fz = p.get("fuzz", scene0.fuzz)
+            lp = fwd_loss(p["center"] + spsa_c * delta, p["albedo"], fz)
+            lm = fwd_loss(p["center"] - spsa_c * delta, p["albedo"], fz)
             g = g + (lp - lm) / (2.0 * spsa_c) * delta
         return g / spsa_pairs
 
     result = FitResult(scene=scene0)
     for i in range(steps):
         t0 = time.time()
-        loss, g = vg(params)
-        g_center = (g["center"] * mov if geom == "edge"
+        loss, g_ad = vg(params)
+        g_center = (g_ad["center"] * mov if geom == "edge"
                     else spsa_center_grad(params))
-        g = {"center": g_center, "albedo": g["albedo"] * mov}
+        g = {"center": g_center, "albedo": g_ad["albedo"] * mov}
+        if fit_fuzz:
+            g["fuzz"] = g_ad["fuzz"] * fuzz_mask
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         loss = float(loss)  # host fetch = sync
@@ -172,8 +192,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
         if on_step is not None:
             on_step(i, loss, params)
 
-    result.scene = scene0._replace(center=params["center"],
-                                   albedo=jnp.clip(params["albedo"], 0, 1))
+    result.scene = _scene_of(params, params["center"])
     return result
 
 
@@ -181,6 +200,7 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
                    image_width: int, n_samples: int, *,
                    steps: int = 100, seed: int = 0,
                    lr_albedo: float = 2e-2, lr_center: float = 8e-3,
+                   lr_fuzz: float = 0.0,
                    spsa_c: float = 2e-2, spsa_pairs: int = 2,
                    movable: np.ndarray | None = None,
                    render_kwargs: dict | None = None,
@@ -208,55 +228,70 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
         movable = movable_mask(scene0)
     mov = jnp.asarray(movable)[:, None]
 
+    from .scene import METAL
+    fit_fuzz = lr_fuzz > 0
+    fuzz_mask = jnp.asarray(movable
+                            & (np.asarray(scene0.mat) == METAL), jnp.float32)
     params0 = {"center": scene0.center, "albedo": scene0.albedo}
-    opt = optax.multi_transform(
-        {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)},
-        {"center": "center", "albedo": "albedo"})
+    lrs = {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)}
+    if fit_fuzz:
+        params0["fuzz"] = scene0.fuzz
+        lrs["fuzz"] = optax.adam(lr_fuzz)
+    opt = optax.multi_transform(lrs, {k: k for k in lrs})
+
+    def _scene_of(p, center):
+        s = scene0._replace(center=center,
+                            albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+        if fit_fuzz:
+            s = s._replace(fuzz=jnp.maximum(p["fuzz"], 0.0))
+        return s
 
     if geom == "edge":
         from .ops.edge import render_radiance_edge
         ekw = dict(edge_kwargs or {})
 
         def step_loss(p):
-            s = scene0._replace(center=p["center"],
-                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
-            img = render_radiance_edge(s, cam, image_width, n_samples,
+            img = render_radiance_edge(_scene_of(p, p["center"]), cam,
+                                       image_width, n_samples,
                                        image_height=H, seed=seed, **ekw)
             return jnp.mean((img - target) ** 2)
     else:
         def step_loss(p):
             # Centers come from SPSA; skip their AD cotangent chain.
-            s = scene0._replace(center=jax.lax.stop_gradient(p["center"]),
-                                albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            s = _scene_of(p, jax.lax.stop_gradient(p["center"]))
             return render_loss(s, cam, target, image_width, n_samples,
                                seed=seed, **tkw)
 
-    def fwd_loss(center, albedo):
-        s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1))
+    def fwd_loss(center, albedo, fuzz):
+        s = scene0._replace(center=center, albedo=jnp.clip(albedo, 0, 1),
+                            fuzz=jnp.maximum(fuzz, 0.0))
         img = render_radiance(s, cam, image_width, n_samples,
                               image_height=H, seed=seed, persistent=on_tpu)
         return jnp.mean((img - target) ** 2)
 
     def one_step(carry, _):
         params, opt_state, key = carry
-        loss, g = jax.value_and_grad(step_loss)(params)
+        loss, g_ad = jax.value_and_grad(step_loss)(params)
         if geom == "edge":
-            g_center = g["center"] * mov
+            g_center = g_ad["center"] * mov
         else:
             g_center = jnp.zeros_like(params["center"])
+            fz = params.get("fuzz", scene0.fuzz)
             for j in range(spsa_pairs):
                 key, sub = jax.random.split(key)
                 delta = (jax.random.bernoulli(
                     sub, 0.5, params["center"].shape).astype(jnp.float32)
                     * 2.0 - 1.0) * mov
                 lp = fwd_loss(params["center"] + spsa_c * delta,
-                              params["albedo"])
+                              params["albedo"], fz)
                 lm = fwd_loss(params["center"] - spsa_c * delta,
-                              params["albedo"])
+                              params["albedo"], fz)
                 g_center = g_center + (lp - lm) / (2.0 * spsa_c) * delta
             # max(, 1): spsa_pairs=0 (albedo-only fit) leaves it zero.
             g_center = g_center / max(spsa_pairs, 1)
-        g = {"center": g_center, "albedo": g["albedo"] * mov}
+        g = {"center": g_center, "albedo": g_ad["albedo"] * mov}
+        if fit_fuzz:
+            g["fuzz"] = g_ad["fuzz"] * fuzz_mask
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key), loss
@@ -272,8 +307,7 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     losses = np.asarray(losses)
     wall = time.time() - t0
 
-    result = FitResult(scene=scene0._replace(
-        center=params["center"], albedo=jnp.clip(params["albedo"], 0, 1)))
+    result = FitResult(scene=_scene_of(params, params["center"]))
     result.losses = [float(l) for l in losses]
     result.step_seconds = [wall / max(steps, 1)] * steps
     return result
