@@ -51,6 +51,11 @@ def main() -> None:
                     help="averaged SPSA probe pairs per step")
     ap.add_argument("--center-jitter", type=float, default=0.12)
     ap.add_argument("--albedo-scale", type=float, default=0.55)
+    ap.add_argument("--lr-fuzz", type=float, default=0.0,
+                    help=">0 jointly fits metal fuzz (exact interior AD)")
+    ap.add_argument("--fuzz-jitter", type=float, default=0.0,
+                    help="perturb metal movables' fuzz by U(-j, j), "
+                         "clipped at 0")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--geom", default="spsa", choices=["spsa", "edge"],
                     help="center-gradient estimator: SPSA probes (the "
@@ -123,6 +128,15 @@ def main() -> None:
     alb[albedo_scored] = np.clip(
         alb[albedo_scored] * args.albedo_scale + 0.15, 0, 1)
     scene0 = scene_true._replace(center=center0, albedo=jnp.asarray(alb))
+    from raytracingweekend_jl_tpu.scene import METAL
+    fuzz_scored = movable & (np.asarray(scene_true.mat) == METAL)
+    if args.fuzz_jitter > 0:
+        fj = np.array(jax.random.uniform(
+            jax.random.fold_in(k, 99), scene_true.fuzz.shape,
+            minval=-args.fuzz_jitter, maxval=args.fuzz_jitter))
+        fz = np.asarray(scene_true.fuzz).copy()
+        fz[fuzz_scored] = np.clip(fz[fuzz_scored] + fj[fuzz_scored], 0, None)
+        scene0 = scene0._replace(fuzz=jnp.asarray(fz))
 
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -165,7 +179,8 @@ def main() -> None:
         from raytracingweekend_jl_tpu.optimize import fit_scene_scan
         res = fit_scene_scan(scene0, cam, target, W, spp, steps=args.steps,
                              seed=args.seed, lr_albedo=args.lr,
-                             lr_center=args.lr_center, spsa_c=args.spsa_c,
+                             lr_center=args.lr_center, lr_fuzz=args.lr_fuzz,
+                             spsa_c=args.spsa_c,
                              spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
                              geom=args.geom, edge_kwargs=ekw)
         lf.write("\n".join(json.dumps({"step": i, "loss": l})
@@ -173,7 +188,8 @@ def main() -> None:
     else:
         res = fit_scene(scene0, cam, target, W, spp, steps=args.steps,
                         seed=args.seed, lr_albedo=args.lr,
-                        lr_center=args.lr_center, spsa_c=args.spsa_c,
+                        lr_center=args.lr_center, lr_fuzz=args.lr_fuzz,
+                        spsa_c=args.spsa_c,
                         spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
                         geom=args.geom, edge_kwargs=ekw,
                         on_step=on_step)
@@ -198,6 +214,14 @@ def main() -> None:
     a_err0, a_mean0 = errs(scene0.albedo, scene_true.albedo, albedo_scored)
     a_err1, a_mean1 = errs(scene_fit.albedo, scene_true.albedo,
                            albedo_scored)
+    f_stats = {}
+    if args.lr_fuzz > 0 and fuzz_scored.any():
+        f_err0, f_mean0 = errs(scene0.fuzz, scene_true.fuzz, fuzz_scored)
+        f_err1, f_mean1 = errs(scene_fit.fuzz, scene_true.fuzz, fuzz_scored)
+        f_stats = {"fuzz_err_init": round(f_err0, 4),
+                   "fuzz_err_final": round(f_err1, 4),
+                   "fuzz_mean_err_init": round(f_mean0, 4),
+                   "fuzz_mean_err_final": round(f_mean1, 4)}
     steady = sorted(l for l in losses)  # noqa: E741
     mean_step_s = (time.time() - t_all0) / args.steps
     rec = {"ts": time.time(),
@@ -214,6 +238,7 @@ def main() -> None:
            "center_mean_err_final": round(c_mean1, 4),
            "albedo_err_init": round(a_err0, 4),
            "albedo_err_final": round(a_err1, 4),
+           **f_stats,
            "albedo_mean_err_init": round(a_mean0, 4),
            "albedo_mean_err_final": round(a_mean1, 4),
            "n_movable": int(movable.sum()),
