@@ -28,6 +28,7 @@ import pytest
 #: (edge) estimator: test_persist_forward_matches_twin,
 #: test_grad_albedo_matches_fd, test_edge_center_gradient_matches_fd.
 SLOW_TESTS = {
+    "test_fit_scene_fuzz_channel_descends",
     "test_elastic_train_step_survives_device_fault",
     "test_elastic_train_step_descends",
     "test_elastic_train_step_bitwise_placement_invariance",

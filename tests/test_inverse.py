@@ -101,3 +101,41 @@ def test_fit_scene_scan_descends():
     assert len(res.losses) == 10
     assert np.isfinite(res.losses).all()
     assert res.losses[-1] < 0.75 * res.losses[0], res.losses
+
+
+def test_fit_scene_fuzz_channel_descends():
+    """lr_fuzz > 0 adds metal fuzz as a third parameter group. Fuzz's
+    dominant image effect is REFLECTED-RAY visibility (blurred reflections
+    of sphere edges) — a secondary-bounce silhouette term: interior-only
+    AD measured a near-zero/wrong-sign fuzz gradient (+3e-4 / -3e-5 vs FD
+    +0.003/+0.001 on this probe) and the edge estimator at edge_bounces=1
+    likewise, while edge_bounces=2 recovers the FD sign (+0.024/+0.0009).
+    So the fuzz fit runs through the eb=2 edge loss; it must shrink the
+    perturbation while non-metal fuzz stays put."""
+    from raytracingweekend_jl_tpu.scene import METAL
+    scene_true = rtw.ALL_SCENES["4_spheres"]()
+    movable = movable_mask(scene_true)
+    metal_mov = movable & (np.asarray(scene_true.mat) == METAL)
+    assert metal_mov.any()
+    fz = np.asarray(scene_true.fuzz).copy()
+    fz[metal_mov] = np.clip(fz[metal_mov] + 0.35, 0, None)
+    scene0 = scene_true._replace(fuzz=jnp.asarray(fz))
+    cam = rtw.t_default_cam()
+    target = render_radiance(scene_true, cam, W, SPP, image_height=H,
+                             seed=0, recorded=True)
+
+    res = fit_scene(scene0, cam, target, W, SPP, steps=12, seed=0,
+                    lr_albedo=0.0, lr_center=0.0, lr_fuzz=4e-2,
+                    geom="edge",
+                    edge_kwargs=dict(sigma=0.06, edge_bounces=2))
+    assert all(np.isfinite(res.losses))
+    assert res.losses[-1] < res.losses[0], res.losses
+    f_err0 = np.abs(np.asarray(scene0.fuzz
+                               - scene_true.fuzz))[metal_mov].max()
+    f_err1 = np.abs(np.asarray(res.scene.fuzz
+                               - scene_true.fuzz))[metal_mov].max()
+    assert f_err1 < 0.8 * f_err0, (f_err0, f_err1)
+    # non-metal fuzz untouched
+    np.testing.assert_array_equal(
+        np.asarray(res.scene.fuzz)[~metal_mov],
+        np.asarray(scene0.fuzz)[~metal_mov])
