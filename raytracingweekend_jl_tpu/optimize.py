@@ -65,6 +65,7 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
               movable: np.ndarray | None = None,
               render_kwargs: dict | None = None,
               geom: str = "spsa", edge_kwargs: dict | None = None,
+              cosine_decay: bool = False,
               on_step=None) -> FitResult:
     """Recover sphere centers + albedos of ``scene0`` so its render matches
     ``target`` ([H,W,3] linear radiance). Returns the fitted scene and the
@@ -82,9 +83,17 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
         and center (interior + silhouette boundary) gradients; no probes.
         ``edge_kwargs`` forwards ``sigma`` / ``sigma_px`` / ``edge_bounces``.
 
-    ``lr_fuzz > 0`` additionally fits metal fuzz (exact interior AD — fuzz
-    never moves silhouettes; masked to movable METAL spheres, clipped to
-    the reference's unclamped-but-nonnegative domain src/scenes.jl:70).
+    ``lr_fuzz > 0`` additionally fits metal fuzz (masked to movable METAL
+    spheres, clipped to the reference's unclamped-but-nonnegative domain
+    src/scenes.jl:70; route through geom="edge" with edge_bounces>=2 —
+    fuzz's gradient lives in reflected-silhouette visibility, docs/EDGE.md).
+
+    ``cosine_decay`` anneals every lr to 0 over ``steps``. Adam gives
+    noise-dominated coordinates (tiny/occluded spheres) lr-sized steps
+    regardless of gradient magnitude, so they random-walk ~lr*steps while
+    constrained coordinates converge (measured on the 485-sphere flagship
+    fit: max center error grew to ~lr*steps with constant lr); the decay
+    freezes the walk as the fit converges.
     """
     import optax
 
@@ -107,10 +116,14 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     fuzz_mask = jnp.asarray(movable
                             & (np.asarray(scene0.mat) == METAL), jnp.float32)
     params = {"center": scene0.center, "albedo": scene0.albedo}
-    lrs = {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)}
+    def _lr(v):
+        return (optax.cosine_decay_schedule(v, max(steps, 1))
+                if cosine_decay else v)
+    lrs = {"center": optax.adam(_lr(lr_center)),
+           "albedo": optax.adam(_lr(lr_albedo))}
     if fit_fuzz:
         params["fuzz"] = scene0.fuzz
-        lrs["fuzz"] = optax.adam(lr_fuzz)
+        lrs["fuzz"] = optax.adam(_lr(lr_fuzz))
     opt = optax.multi_transform(lrs, {k: k for k in lrs})
     opt_state = opt.init(params)
 
@@ -205,7 +218,8 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
                    movable: np.ndarray | None = None,
                    render_kwargs: dict | None = None,
                    geom: str = "spsa",
-                   edge_kwargs: dict | None = None) -> FitResult:
+                   edge_kwargs: dict | None = None,
+                   cosine_decay: bool = False) -> FitResult:
     """:func:`fit_scene` as ONE jitted ``lax.scan`` — the whole optimization
     (value_and_grad + SPSA probes + Adam) runs on device in a single
     dispatch, so the per-step tunnel round-trips (~5 dispatches x ~20 ms on
@@ -233,10 +247,14 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     fuzz_mask = jnp.asarray(movable
                             & (np.asarray(scene0.mat) == METAL), jnp.float32)
     params0 = {"center": scene0.center, "albedo": scene0.albedo}
-    lrs = {"center": optax.adam(lr_center), "albedo": optax.adam(lr_albedo)}
+    def _lr(v):
+        return (optax.cosine_decay_schedule(v, max(steps, 1))
+                if cosine_decay else v)
+    lrs = {"center": optax.adam(_lr(lr_center)),
+           "albedo": optax.adam(_lr(lr_albedo))}
     if fit_fuzz:
         params0["fuzz"] = scene0.fuzz
-        lrs["fuzz"] = optax.adam(lr_fuzz)
+        lrs["fuzz"] = optax.adam(_lr(lr_fuzz))
     opt = optax.multi_transform(lrs, {k: k for k in lrs})
 
     def _scene_of(p, center):

@@ -51,6 +51,9 @@ def main() -> None:
                     help="averaged SPSA probe pairs per step")
     ap.add_argument("--center-jitter", type=float, default=0.12)
     ap.add_argument("--albedo-scale", type=float, default=0.55)
+    ap.add_argument("--albedo-shift", type=float, default=0.15,
+                    help="additive albedo perturbation (scale*a + shift); "
+                         "scale=1 shift=0 disables it")
     ap.add_argument("--lr-fuzz", type=float, default=0.0,
                     help=">0 jointly fits metal fuzz (exact interior AD)")
     ap.add_argument("--fuzz-jitter", type=float, default=0.0,
@@ -67,6 +70,9 @@ def main() -> None:
     ap.add_argument("--edge-bounces", type=int, default=1)
     ap.add_argument("--edge-chunk", type=int, default=None,
                     help="pixel chunk bounding the [R,N] silhouette sweep")
+    ap.add_argument("--cosine-decay", action="store_true",
+                    help="anneal every lr to 0 over the run (freezes the "
+                         "Adam random walk of noise-dominated coords)")
     ap.add_argument("--scan", action="store_true",
                     help="run the whole fit as ONE jitted lax.scan "
                          "(optimize.fit_scene_scan) — pays the tunnel "
@@ -101,10 +107,25 @@ def main() -> None:
     cam = rtw.t_cam1() if cam_name == "cam1" else rtw.t_default_cam()
 
     # Target: the TRUE scene rendered with the SAME estimator configuration
-    # the optimization uses (fixed key -> deterministic loss surface).
+    # the optimization uses (fixed key -> deterministic loss surface). For
+    # --geom edge that means the EDGE PRIMAL (bitwise the hard keyed
+    # trace): its RNG streams differ from the production recorded path, and
+    # at flagship sphere density (10-px spheres, spp 4) the cross-estimator
+    # MC noise otherwise EXCEEDS the parameter signal — the fit then
+    # "explains" noise by distorting parameters (measured: a centers-only
+    # fit halved the loss while the mean center error ROSE 0.0405->0.0534).
+    # With matched streams the truth is the exact global minimum.
     tkw = dict(recorded=True, recorded_fused=on_tpu)
-    target = render_radiance(scene_true, cam, W, spp, image_height=H,
-                             seed=args.seed, **tkw)
+    if args.geom == "edge":
+        from raytracingweekend_jl_tpu.ops.edge import render_radiance_edge
+        target = render_radiance_edge(
+            scene_true, cam, W, spp, image_height=H, seed=args.seed,
+            sigma=1.0,  # sigma/edge_bounces do not affect the primal
+            edge_bounces=0,
+            pixel_chunk=args.edge_chunk if args.edge_chunk else None)
+    else:
+        target = render_radiance(scene_true, cam, W, spp, image_height=H,
+                                 seed=args.seed, **tkw)
     target = jax.block_until_ready(target)
 
     # Perturb centers (not the ground plane — index 0 by convention has the
@@ -126,7 +147,7 @@ def main() -> None:
     center0 = jnp.asarray(np.asarray(scene_true.center) + jit)
     alb = np.asarray(scene_true.albedo).copy()
     alb[albedo_scored] = np.clip(
-        alb[albedo_scored] * args.albedo_scale + 0.15, 0, 1)
+        alb[albedo_scored] * args.albedo_scale + args.albedo_shift, 0, 1)
     scene0 = scene_true._replace(center=center0, albedo=jnp.asarray(alb))
     from raytracingweekend_jl_tpu.scene import METAL
     fuzz_scored = movable & (np.asarray(scene_true.mat) == METAL)
@@ -182,7 +203,8 @@ def main() -> None:
                              lr_center=args.lr_center, lr_fuzz=args.lr_fuzz,
                              spsa_c=args.spsa_c,
                              spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
-                             geom=args.geom, edge_kwargs=ekw)
+                             geom=args.geom, edge_kwargs=ekw,
+                             cosine_decay=args.cosine_decay)
         lf.write("\n".join(json.dumps({"step": i, "loss": l})
                             for i, l in enumerate(res.losses)) + "\n")
     else:
@@ -192,6 +214,7 @@ def main() -> None:
                         spsa_c=args.spsa_c,
                         spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
                         geom=args.geom, edge_kwargs=ekw,
+                        cosine_decay=args.cosine_decay,
                         on_step=on_step)
     lf.close()
     losses = res.losses
