@@ -232,11 +232,29 @@ def main() -> None:
         e = np.abs(np.asarray(a - b))[mask]
         return float(e.max()), float(e.mean())
 
+    def err_quantiles(a, b, mask):
+        # per-SPHERE error (max over components) quantiles + improved count
+        e = np.abs(np.asarray(a - b))[mask]
+        e = e.reshape(e.shape[0], -1).max(axis=1)
+        return e
+
     c_err0, c_mean0 = errs(scene0.center, scene_true.center, movable)
     c_err1, c_mean1 = errs(scene_fit.center, scene_true.center, movable)
     a_err0, a_mean0 = errs(scene0.albedo, scene_true.albedo, albedo_scored)
     a_err1, a_mean1 = errs(scene_fit.albedo, scene_true.albedo,
                            albedo_scored)
+    # Per-sphere improvement distribution: at flagship density many tiny/
+    # occluded spheres are weakly constrained; the mean alone hides that
+    # the constrained majority recovers.
+    ec0 = err_quantiles(scene0.center, scene_true.center, movable)
+    ec1 = err_quantiles(scene_fit.center, scene_true.center, movable)
+    dist_stats = {
+        "center_err_p50_init": round(float(np.median(ec0)), 4),
+        "center_err_p50_final": round(float(np.median(ec1)), 4),
+        "center_err_p90_init": round(float(np.percentile(ec0, 90)), 4),
+        "center_err_p90_final": round(float(np.percentile(ec1, 90)), 4),
+        "center_improved_frac": round(float((ec1 < ec0).mean()), 3),
+    }
     f_stats = {}
     if args.lr_fuzz > 0 and fuzz_scored.any():
         f_err0, f_mean0 = errs(scene0.fuzz, scene_true.fuzz, fuzz_scored)
@@ -261,7 +279,7 @@ def main() -> None:
            "center_mean_err_final": round(c_mean1, 4),
            "albedo_err_init": round(a_err0, 4),
            "albedo_err_final": round(a_err1, 4),
-           **f_stats,
+           **f_stats, **dist_stats,
            "albedo_mean_err_init": round(a_mean0, 4),
            "albedo_mean_err_final": round(a_mean1, 4),
            "n_movable": int(movable.sum()),
