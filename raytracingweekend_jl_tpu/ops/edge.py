@@ -329,7 +329,8 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
                          sigma: float | None = None,
                          sigma_px: float = 1.0,
                          edge_bounces: int = 2,
-                         pixel_chunk: int | None = None) -> jnp.ndarray:
+                         pixel_chunk: int | None = None,
+                         remat_chunks: bool = False) -> jnp.ndarray:
     """Boundary-aware differentiable render ``[H,W,3]`` (linear radiance).
 
     Sampling conventions mirror render.py's pass loop (centered global
@@ -342,6 +343,13 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
     edge path materializes ~6 ray-x-sphere planes): a flagship 512-sphere
     scene at 230k rays is ~2.8 GB unchunked. Chunk RNG folds the chunk id,
     so chunked and unchunked renders agree statistically, not bitwise.
+
+    ``remat_chunks`` checkpoints each (chunk, sample) trace: reverse mode
+    then keeps only the [chunk, 3] radiance per trace and recomputes the
+    [R, N] silhouette residuals in the backward — O(1) residual memory in
+    n_pix*spp at ~2x forward compute. Without it the residuals of EVERY
+    chunk and sample coexist in the backward (960x540x8spp measured OOM
+    on a 16 GiB chip; 640x360x4 fits).
     """
     import numpy as np
     from .. import rng
@@ -369,6 +377,14 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
         chunks = [(slice(c * pixel_chunk, min((c + 1) * pixel_chunk, n_pix)),
                    jax.random.fold_in(key, c)) for c in range(n_chunks)]
 
+    def one_trace(scene, o, d, tk, pa):
+        return trace_edge(scene, o, d, tk, max_depth=max_depth, tmin=tmin,
+                          sigma=sigma, sigma_px=sigma_px, pix_angle=pa,
+                          edge_bounces=edge_bounces)
+
+    if remat_chunks:
+        one_trace = jax.checkpoint(one_trace, prevent_cse=False)
+
     pieces = []
     for sl, ckey in chunks:
         uc, vc = u[sl], v[sl]
@@ -381,11 +397,9 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
             jit_uv = jnp.where(s0 == 0, 0.0, jit_uv * scale)
             o, d = get_rays(cam, uc + jit_uv[:, 0], vc + jit_uv[:, 1],
                             rng.purpose_key(key_p, rng.LENS))
-            acc = acc + trace_edge(scene, o, d,
-                                   rng.purpose_key(key_p, rng.SCATTER_DIR),
-                                   max_depth=max_depth, tmin=tmin,
-                                   sigma=sigma, sigma_px=sigma_px,
-                                   pix_angle=pa, edge_bounces=edge_bounces)
+            acc = acc + one_trace(scene, o, d,
+                                  rng.purpose_key(key_p, rng.SCATTER_DIR),
+                                  pa)
         pieces.append(acc)
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
     return (out / n_samples).reshape(H, W, 3)

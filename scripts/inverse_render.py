@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--edge-bounces", type=int, default=1)
     ap.add_argument("--edge-chunk", type=int, default=None,
                     help="pixel chunk bounding the [R,N] silhouette sweep")
+    ap.add_argument("--edge-remat", action="store_true",
+                    help="checkpoint each (chunk, sample) edge trace — "
+                         "O(1) residual memory at ~2x forward compute")
     ap.add_argument("--cosine-decay", action="store_true",
                     help="anneal every lr to 0 over the run (freezes the "
                          "Adam random walk of noise-dominated coords)")
@@ -195,6 +198,8 @@ def main() -> None:
                edge_bounces=args.edge_bounces)
     if args.edge_chunk:
         ekw["pixel_chunk"] = args.edge_chunk
+    if args.edge_remat:
+        ekw["remat_chunks"] = True
     t_all0 = time.time()
     if args.scan:
         from raytracingweekend_jl_tpu.optimize import fit_scene_scan
