@@ -187,3 +187,19 @@ def test_edge_handles_metal_and_auto_sigma():
     # boundary term dominates interior for x-displacement: gradient must
     # point back toward the target (positive x component).
     assert float(g[0, 0]) > 0, np.asarray(g[0])
+
+
+def test_edge_remat_chunks_matches_plain():
+    """remat_chunks (scan over checkpointed chunks — O(1) residual memory)
+    matches the plain chunked render. Tolerances are ulp-class, not exact:
+    the recompute compiles differently and a threshold-straddling band ray
+    may flip its hard select (measured: 1 pixel of 2048 at 1e-6, gradient
+    ~2% on one ray's term — noise-level for a fit path)."""
+    scene = _ground_scene()
+    cam = t_default_cam()
+    a = np.asarray(render_radiance_edge(scene, cam, 64, 2, image_height=32,
+                                        seed=0, sigma=0.05, pixel_chunk=512))
+    b = np.asarray(render_radiance_edge(scene, cam, 64, 2, image_height=32,
+                                        seed=0, sigma=0.05, pixel_chunk=512,
+                                        remat_chunks=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
