@@ -68,6 +68,8 @@ def main() -> None:
                     help="edge band half-width in scene units (default: "
                          "per-ray pixel footprint)")
     ap.add_argument("--edge-bounces", type=int, default=1)
+    ap.add_argument("--edge-sigma-px", type=float, default=1.5,
+                    help="auto-sigma band width in pixel footprints")
     ap.add_argument("--edge-chunk", type=int, default=None,
                     help="pixel chunk bounding the [R,N] silhouette sweep")
     ap.add_argument("--edge-remat", action="store_true",
@@ -194,7 +196,7 @@ def main() -> None:
                 cam, W, spp, image_height=H, seed=args.seed, **tkw),
                 "midway.png")
 
-    ekw = dict(sigma=args.edge_sigma, sigma_px=1.5,
+    ekw = dict(sigma=args.edge_sigma, sigma_px=args.edge_sigma_px,
                edge_bounces=args.edge_bounces)
     if args.edge_chunk:
         ekw["pixel_chunk"] = args.edge_chunk
@@ -253,12 +255,31 @@ def main() -> None:
     # the constrained majority recovers.
     ec0 = err_quantiles(scene0.center, scene_true.center, movable)
     ec1 = err_quantiles(scene_fit.center, scene_true.center, movable)
+    # Screen coverage class: projected radius in pixels. Recovery is
+    # information-limited by how many pixels (and band samples) a sphere
+    # gets; reporting by class separates "estimator works" from "10-px
+    # spheres are under-determined at this budget".
+    import jax.numpy as _jnp
+    from raytracingweekend_jl_tpu.ops.edge import pixel_angle as _pix_angle
+    pa_v = float(np.asarray(_pix_angle(cam, float(np.float32(H)))))
+    dist = np.linalg.norm(np.asarray(scene_true.center)
+                          - np.asarray(cam.origin), axis=1)
+    px_r = (np.abs(np.asarray(scene_true.radius))
+            / np.maximum(dist * pa_v, 1e-9))[movable]
+    big = px_r >= 15.0
     dist_stats = {
         "center_err_p50_init": round(float(np.median(ec0)), 4),
         "center_err_p50_final": round(float(np.median(ec1)), 4),
         "center_err_p90_init": round(float(np.percentile(ec0, 90)), 4),
         "center_err_p90_final": round(float(np.percentile(ec1, 90)), 4),
         "center_improved_frac": round(float((ec1 < ec0).mean()), 3),
+        "center_improved_frac_ge15px": (
+            round(float((ec1 < ec0)[big].mean()), 3) if big.any() else None),
+        "center_p50_final_ge15px": (
+            round(float(np.median(ec1[big])), 4) if big.any() else None),
+        "center_p50_init_ge15px": (
+            round(float(np.median(ec0[big])), 4) if big.any() else None),
+        "n_ge15px": int(big.sum()),
     }
     f_stats = {}
     if args.lr_fuzz > 0 and fuzz_scored.any():
