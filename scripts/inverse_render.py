@@ -261,18 +261,40 @@ def main() -> None:
     # spheres are under-determined at this budget".
     import jax.numpy as _jnp
     from raytracingweekend_jl_tpu.ops.edge import pixel_angle as _pix_angle
+    from raytracingweekend_jl_tpu.ops.intersect import intersect_spheres
+    from raytracingweekend_jl_tpu.camera import get_rays as _get_rays
+    from raytracingweekend_jl_tpu.render import pixel_coords as _pix_coords
     pa_v = float(np.asarray(_pix_angle(cam, float(np.float32(H)))))
     dist = np.linalg.norm(np.asarray(scene_true.center)
                           - np.asarray(cam.origin), axis=1)
-    px_r = (np.abs(np.asarray(scene_true.radius))
-            / np.maximum(dist * pa_v, 1e-9))[movable]
-    big = px_r >= 15.0
+    px_r_all = (np.abs(np.asarray(scene_true.radius))
+                / np.maximum(dist * pa_v, 1e-9))
+    # PRIMARY VISIBILITY gate: the 22x22 grid extends far outside the
+    # vfov-20 frustum — off-frame spheres have exactly zero gradient,
+    # never move, and would poison any recovery fraction. Count each
+    # sphere's winning primary pixels in the TRUE scene.
+    _u, _v = _pix_coords(W, H)
+    _o, _d = _get_rays(cam, _u, _v, jax.random.PRNGKey(0))
+    _res = intersect_spheres(_o, _d, scene_true)
+    _idx = np.asarray(_res.index)[np.asarray(_res.hit)]
+    pix_count_all = np.bincount(_idx, minlength=scene_true.n_spheres)
+    visible_all = pix_count_all >= 4
+    px_r = px_r_all[movable]
+    vis = visible_all[movable]
+    big = vis & (px_r >= 15.0)
     dist_stats = {
         "center_err_p50_init": round(float(np.median(ec0)), 4),
         "center_err_p50_final": round(float(np.median(ec1)), 4),
         "center_err_p90_init": round(float(np.percentile(ec0, 90)), 4),
         "center_err_p90_final": round(float(np.percentile(ec1, 90)), 4),
         "center_improved_frac": round(float((ec1 < ec0).mean()), 3),
+        "n_visible": int(vis.sum()),
+        "center_improved_frac_visible": (
+            round(float((ec1 < ec0)[vis].mean()), 3) if vis.any() else None),
+        "center_p50_init_visible": (
+            round(float(np.median(ec0[vis])), 4) if vis.any() else None),
+        "center_p50_final_visible": (
+            round(float(np.median(ec1[vis])), 4) if vis.any() else None),
         "center_improved_frac_ge15px": (
             round(float((ec1 < ec0)[big].mean()), 3) if big.any() else None),
         "center_p50_final_ge15px": (
