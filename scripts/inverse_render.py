@@ -311,6 +311,20 @@ def main() -> None:
                    "fuzz_err_final": round(f_err1, 4),
                    "fuzz_mean_err_init": round(f_mean0, 4),
                    "fuzz_mean_err_final": round(f_mean1, 4)}
+        fv = fuzz_scored & visible_all
+        if fv.any():
+            _, fv0 = errs(scene0.fuzz, scene_true.fuzz, fv)
+            _, fv1 = errs(scene_fit.fuzz, scene_true.fuzz, fv)
+            f_stats["fuzz_mean_err_init_visible"] = round(fv0, 4)
+            f_stats["fuzz_mean_err_final_visible"] = round(fv1, 4)
+            f_stats["n_fuzz_visible"] = int(fv.sum())
+    av = albedo_scored & visible_all
+    if av.any():
+        _, av0 = errs(scene0.albedo, scene_true.albedo, av)
+        _, av1 = errs(scene_fit.albedo, scene_true.albedo, av)
+        dist_stats["albedo_mean_err_init_visible"] = round(av0, 4)
+        dist_stats["albedo_mean_err_final_visible"] = round(av1, 4)
+        dist_stats["n_albedo_visible"] = int(av.sum())
     steady = sorted(l for l in losses)  # noqa: E741
     mean_step_s = (time.time() - t_all0) / args.steps
     rec = {"ts": time.time(),
