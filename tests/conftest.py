@@ -28,6 +28,8 @@ import pytest
 #: (edge) estimator: test_persist_forward_matches_twin,
 #: test_grad_albedo_matches_fd, test_edge_center_gradient_matches_fd.
 SLOW_TESTS = {
+    "test_edge_signed_radius_hollow_glass",
+    "test_edge_remat_chunks_matches_plain",
     "test_fit_scene_fuzz_channel_descends",
     "test_elastic_train_step_survives_device_fault",
     "test_elastic_train_step_descends",

@@ -203,3 +203,32 @@ def test_edge_remat_chunks_matches_plain():
                                         seed=0, sigma=0.05, pixel_chunk=512,
                                         remat_chunks=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_edge_signed_radius_hollow_glass():
+    """Signed-radius (hollow shell) semantics through the edge path: the
+    hollow-glass scene's negative-radius inner shell must produce a finite
+    primal equal to the hard keyed trace and finite center gradients (the
+    forced-graze branch flips r_eff with sign(r); |r| guards the
+    silhouette coordinate's denominator)."""
+    import raytracingweekend_jl_tpu as rtw
+    scene = rtw.scene_diel_spheres_hollow()
+    cam = rtw.hollow_glass_cam()
+    u, v = pixel_coords(64, 36)
+    key = jax.random.PRNGKey(2)
+    o, d = get_rays(cam, u, v, rng.purpose_key(key, rng.LENS))
+    tk = rng.purpose_key(key, rng.SCATTER_DIR)
+    ref = np.asarray(trace(scene, o, d, tk, keyed=True))
+    out = np.asarray(trace_edge(scene, o, d, tk, sigma=0.05,
+                                edge_bounces=1))
+    np.testing.assert_array_equal(out, ref)
+
+    def loss(center):
+        img = render_radiance_edge(scene._replace(center=center), cam, 64,
+                                   2, image_height=36, seed=0, sigma=0.05,
+                                   edge_bounces=1)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.center))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
