@@ -115,12 +115,10 @@ def run(cfg: RenderConfig) -> dict:
 
     t0 = time.time()
     phases = None
-    if cfg.multihost or (cfg.spp_chunk > 0
-                         and cfg.mesh_tiles * cfg.mesh_samples > 1):
-        # Sharded render, optionally spp-chunk-checkpointed — the branches
-        # COMPOSE (round-4 verdict #3: a pod render must both shard and
-        # resume): --multihost [--spp-chunk --checkpoint], or
-        # --mesh-tiles/--mesh-samples with --spp-chunk.
+    if cfg.multihost or cfg.mesh_tiles * cfg.mesh_samples > 1:
+        # ALL sharded renders (multihost or single-process mesh), plain or
+        # spp-chunk-checkpointed — the branches COMPOSE (round-4 verdict
+        # #3: a pod render must both shard and resume).
         import jax
         from .parallel import multihost
         from .parallel.shard import render_radiance_sharded
@@ -193,17 +191,6 @@ def run(cfg: RenderConfig) -> dict:
             rays_per_pass=cfg.rays_per_pass, progress=True, timer=timer)
         linear = state.image
         phases = timer.as_dict()
-    elif cfg.mesh_tiles * cfg.mesh_samples > 1:
-        import jax
-        from .parallel.mesh import make_render_mesh
-        from .parallel.shard import render_radiance_sharded
-        n_mesh = cfg.mesh_tiles * cfg.mesh_samples
-        mesh = make_render_mesh(n_tiles=cfg.mesh_tiles, n_samples=cfg.mesh_samples,
-                                devices=jax.devices()[:n_mesh])
-        linear = np.asarray(render_radiance_sharded(
-            scene, cam, cfg.image_width, cfg.n_samples, mesh=mesh,
-            image_height=cfg.image_height, tile_size=cfg.tile_size,
-            max_depth=cfg.max_depth, tmin=cfg.tmin, seed=cfg.seed))
     else:
         linear = np.asarray(render_radiance(
             scene, cam, cfg.image_width, cfg.n_samples,

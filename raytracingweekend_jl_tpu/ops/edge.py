@@ -371,6 +371,14 @@ def render_radiance_edge(scene: Scene, cam, image_width: int,
     pa = None if sigma is not None else pixel_angle(cam, float(np.float32(H)))
 
     if pixel_chunk is None or pixel_chunk >= n_pix:
+        if remat_chunks and n_pix > (1 << 16):
+            # Silently no-opping would hand the caller the exact OOM the
+            # flag exists to prevent (round-5 review): one chunk = one
+            # checkpoint region = the whole forward's residuals anyway.
+            raise ValueError(
+                "remat_chunks=True needs pixel_chunk < n_pix to have any "
+                f"effect (n_pix={n_pix}); pass e.g. pixel_chunk="
+                f"{1 << 16}")
         chunks = [(slice(0, n_pix), key)]
     else:
         n_chunks = -(-n_pix // pixel_chunk)

@@ -137,6 +137,14 @@ def fit_scene(scene0: Scene, cam: Camera, target: jnp.ndarray,
     if geom == "edge":
         from .ops.edge import render_radiance_edge
         ekw = dict(edge_kwargs or {})
+        if tkw:
+            # The edge branch reads edge_kwargs only; silently dropping a
+            # caller's render_kwargs (e.g. memory-bounding pixel_chunk
+            # they relied on) is the round-5-review failure mode.
+            raise ValueError(
+                f"render_kwargs {sorted(tkw)} have no effect with "
+                "geom='edge' — configure the edge loss via edge_kwargs "
+                "(sigma/sigma_px/edge_bounces/pixel_chunk/remat_chunks)")
 
         def step_loss(p):
             # Boundary-aware AD: centers keep their cotangent chain — the
@@ -267,6 +275,11 @@ def fit_scene_scan(scene0: Scene, cam: Camera, target: jnp.ndarray,
     if geom == "edge":
         from .ops.edge import render_radiance_edge
         ekw = dict(edge_kwargs or {})
+        if tkw:
+            raise ValueError(
+                f"render_kwargs {sorted(tkw)} have no effect with "
+                "geom='edge' — configure the edge loss via edge_kwargs "
+                "(sigma/sigma_px/edge_bounces/pixel_chunk/remat_chunks)")
 
         def step_loss(p):
             img = render_radiance_edge(_scene_of(p, p["center"]), cam,

@@ -52,6 +52,81 @@ def _run_tile(scene, cam, u_t, v_t, tile_key, n_samples, max_depth, tmin,
     return np.asarray(acc)  # host fetch surfaces device faults here
 
 
+
+def _elastic_schedule(devices, n_tiles: int, run_tile, on_result,
+                      max_retries: int, emit) -> None:
+    """THE elastic scheduler, shared by the render and training drivers
+    (round-5 review: the worker/retry/quarantine loop was duplicated).
+
+    One worker thread per device pulls tile ids from a shared queue;
+    ``run_tile(t_id, device)`` does the work (raising on device faults),
+    ``on_result(t_id, result)`` commits it (tile-indexed sinks need no
+    lock). A transient failure re-queues the tile for any healthy worker;
+    ``DEVICE_FAILURE_LIMIT`` consecutive failures quarantine the device
+    (its worker exits, pending work drains through survivors). Raises the
+    offending error when a tile exhausts ``max_retries`` on a healthy
+    device, or RuntimeError when no healthy device remains.
+    """
+    queue = list(range(n_tiles))
+    attempts: dict[int, int] = {}
+    fail_streak: dict = {d: 0 for d in devices}
+    fatal: list[BaseException] = []
+    in_progress = 0
+    cond = threading.Condition()
+
+    def worker(dev) -> None:
+        nonlocal in_progress
+        while True:
+            with cond:
+                while not queue and in_progress > 0 and not fatal:
+                    cond.wait(0.05)
+                if fatal or not queue:
+                    return  # done, or another worker hit a fatal error
+                t_id = queue.pop(0)
+                in_progress += 1
+            t0 = time.time()
+            try:
+                result = run_tile(t_id, dev)
+            except Exception as e:  # noqa: BLE001 — device faults are opaque
+                with cond:
+                    in_progress -= 1
+                    attempts[t_id] = attempts.get(t_id, 0) + 1
+                    fail_streak[dev] += 1
+                    quarantined = fail_streak[dev] >= DEVICE_FAILURE_LIMIT
+                    if not quarantined and attempts[t_id] > max_retries:
+                        fatal.append(e)  # retries exhausted, healthy device
+                    else:
+                        queue.append(t_id)  # re-dispatch (any healthy worker)
+                        emit({"tile": t_id, "retry": attempts[t_id],
+                              "error": repr(e)[:120]})
+                    cond.notify_all()
+                if quarantined:
+                    emit({"quarantined": str(dev)})
+                    return
+                if fatal:
+                    return
+                continue
+            on_result(t_id, result)
+            with cond:
+                in_progress -= 1
+                fail_streak[dev] = 0
+                cond.notify_all()
+            emit({"tile": t_id, "device": str(dev),
+                  "s": round(time.time() - t0, 3)})
+
+    threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+               for d in devices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    if fatal:
+        raise fatal[0]
+    if queue:
+        raise RuntimeError("no healthy devices left for the elastic run")
+
+
 def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
                             n_samples: int = 1, *, image_height: int | None = None,
                             tile_size: int = 8192, seed: int = 0,
@@ -80,75 +155,27 @@ def render_radiance_elastic(scene: Scene, cam: Camera, image_width: int = 400,
 
     devices = list(devices if devices is not None else jax.devices())
     out = np.zeros((n_tiles * tile_size, 3), np.float64)
-    queue = list(range(n_tiles))
-    attempts: dict[int, int] = {}
-    fail_streak: dict = {d: 0 for d in devices}
-    fatal: list[BaseException] = []
-    in_progress = 0
-    cond = threading.Condition()
 
     def emit(rec: dict) -> None:
         if progress:
             print(json.dumps(rec), flush=True)
 
-    def worker(dev) -> None:
-        nonlocal in_progress
-        while True:
-            with cond:
-                while not queue and in_progress > 0 and not fatal:
-                    cond.wait(0.05)
-                if fatal or not queue:
-                    return  # done, or another worker hit a fatal error
-                t_id = queue.pop(0)
-                in_progress += 1
-            sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
-            # Same stream derivation as parallel/shard.py: the GLOBAL tile id
-            # keys the tile, so placement/interleaving/retries never change
-            # the image.
-            tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
-            t0 = time.time()
-            try:
-                acc = _run_tile(scene, cam, u[sl], v[sl], tile_key, n_samples,
-                                max_depth, tmin, f32_w, f32_h,
-                                jnp.int32(t_id * tile_size), dev)
-            except Exception as e:  # noqa: BLE001 — device faults are opaque
-                with cond:
-                    in_progress -= 1
-                    attempts[t_id] = attempts.get(t_id, 0) + 1
-                    fail_streak[dev] += 1
-                    quarantined = fail_streak[dev] >= DEVICE_FAILURE_LIMIT
-                    if not quarantined and attempts[t_id] > max_retries:
-                        fatal.append(e)  # retries exhausted on a healthy device
-                    else:
-                        queue.append(t_id)  # re-dispatch (any healthy worker)
-                        emit({"tile": t_id, "retry": attempts[t_id],
-                              "error": repr(e)[:120]})
-                    cond.notify_all()
-                if quarantined:
-                    emit({"quarantined": str(dev)})
-                    return
-                if fatal:
-                    return
-                continue
-            out[sl] = acc  # disjoint slices: no lock needed for the write
-            with cond:
-                in_progress -= 1
-                fail_streak[dev] = 0
-                cond.notify_all()
-            emit({"tile": t_id, "device": str(dev),
-                  "s": round(time.time() - t0, 3)})
+    def run_tile(t_id, dev):
+        sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
+        # Same stream derivation as parallel/shard.py: the GLOBAL tile id
+        # keys the tile, so placement/interleaving/retries never change
+        # the image.
+        tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
+        return _run_tile(scene, cam, u[sl], v[sl], tile_key, n_samples,
+                         max_depth, tmin, f32_w, f32_h,
+                         jnp.int32(t_id * tile_size), dev)
 
-    threads = [threading.Thread(target=worker, args=(d,), daemon=True)
-               for d in devices]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    def on_result(t_id, acc):
+        sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
+        out[sl] = acc  # disjoint slices: no lock needed for the write
 
-    if fatal:
-        raise fatal[0]
-    if queue:
-        raise RuntimeError("no healthy devices left for elastic render")
+    _elastic_schedule(devices, n_tiles, run_tile, on_result, max_retries,
+                      emit)
     return jnp.asarray((out[:n_pix] / n_samples).reshape(H, W, 3),
                        cam.origin.dtype)
 
@@ -228,72 +255,24 @@ def elastic_train_step(scene: Scene, cam: Camera, target, image_width: int,
     devices = list(devices if devices is not None else jax.devices())
     sse_by_tile: list = [None] * n_tiles
     grads_by_tile: list = [None] * n_tiles
-    queue = list(range(n_tiles))
-    attempts: dict[int, int] = {}
-    fail_streak: dict = {d: 0 for d in devices}
-    fatal: list[BaseException] = []
-    in_progress = 0
-    cond = threading.Condition()
 
     def emit(rec: dict) -> None:
         if progress:
             print(json.dumps(rec), flush=True)
 
-    def worker(dev) -> None:
-        nonlocal in_progress
-        while True:
-            with cond:
-                while not queue and in_progress > 0 and not fatal:
-                    cond.wait(0.05)
-                if fatal or not queue:
-                    return
-                t_id = queue.pop(0)
-                in_progress += 1
-            sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
-            tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
-            t0 = time.time()
-            try:
-                sse, g = _run_tile_grad(
-                    scene, cam, u[sl], v[sl], tile_key, target_flat[sl],
-                    valid[sl], n_samples, max_depth, tmin, f32_w, f32_h,
-                    jnp.int32(t_id * tile_size), dev, grad_kwargs)
-            except Exception as e:  # noqa: BLE001 — device faults are opaque
-                with cond:
-                    in_progress -= 1
-                    attempts[t_id] = attempts.get(t_id, 0) + 1
-                    fail_streak[dev] += 1
-                    quarantined = fail_streak[dev] >= DEVICE_FAILURE_LIMIT
-                    if not quarantined and attempts[t_id] > max_retries:
-                        fatal.append(e)
-                    else:
-                        queue.append(t_id)
-                        emit({"tile": t_id, "retry": attempts[t_id],
-                              "error": repr(e)[:120]})
-                    cond.notify_all()
-                if quarantined:
-                    emit({"quarantined": str(dev)})
-                    return
-                if fatal:
-                    return
-                continue
-            sse_by_tile[t_id] = sse  # tile-indexed slot: no lock needed
-            grads_by_tile[t_id] = g
-            with cond:
-                in_progress -= 1
-                fail_streak[dev] = 0
-                cond.notify_all()
-            emit({"tile": t_id, "device": str(dev),
-                  "s": round(time.time() - t0, 3)})
+    def run_tile(t_id, dev):
+        sl = slice(t_id * tile_size, (t_id + 1) * tile_size)
+        tile_key = rng.purpose_key(key, rng.PIXEL_JITTER + 0x10, t_id)
+        return _run_tile_grad(
+            scene, cam, u[sl], v[sl], tile_key, target_flat[sl],
+            valid[sl], n_samples, max_depth, tmin, f32_w, f32_h,
+            jnp.int32(t_id * tile_size), dev, grad_kwargs)
 
-    threads = [threading.Thread(target=worker, args=(d,), daemon=True)
-               for d in devices]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    def on_result(t_id, res):
+        sse_by_tile[t_id], grads_by_tile[t_id] = res  # tile-indexed slots
 
-    if fatal:
-        raise fatal[0]
+    _elastic_schedule(devices, n_tiles, run_tile, on_result, max_retries,
+                      emit)
     if any(g is None for g in grads_by_tile):
         raise RuntimeError("no healthy devices left for elastic train step")
 

@@ -174,6 +174,8 @@ class StripState:
     image_width: int
     image_height: int
     seed: int
+    spp_chunk: int = 0     # chunking the accumulation was made with
+    tile_size: int = 0     # mesh tile size (strip layout depends on it)
 
     @property
     def strip_image(self) -> np.ndarray:
@@ -207,7 +209,8 @@ def save_strip_state(state: StripState, path: str) -> None:
     np.savez(tmp, strip_sum=state.strip_sum, start=state.start,
              stop=state.stop, samples_done=state.samples_done,
              image_width=state.image_width, image_height=state.image_height,
-             seed=state.seed)
+             seed=state.seed, spp_chunk=state.spp_chunk,
+             tile_size=state.tile_size)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
 
 
@@ -218,7 +221,11 @@ def load_strip_state(path: str) -> StripState:
                       samples_done=int(z["samples_done"]),
                       image_width=int(z["image_width"]),
                       image_height=int(z["image_height"]),
-                      seed=int(z["seed"]))
+                      seed=int(z["seed"]),
+                      spp_chunk=(int(z["spp_chunk"])
+                                 if "spp_chunk" in z.files else 0),
+                      tile_size=(int(z["tile_size"])
+                                 if "tile_size" in z.files else 0))
 
 
 def render_checkpointed_sharded(scene: Scene, cam: Camera, image_width: int,
@@ -275,6 +282,36 @@ def render_checkpointed_sharded(scene: Scene, cam: Camera, image_width: int,
         if (state.image_width, state.image_height,
                 state.seed) != (W, H, seed):
             raise ValueError("checkpoint does not match render configuration")
+        # The bitwise-resume contract requires the SAME chunking (RNG is
+        # keyed per chunk offset) and tile layout; catching it up front
+        # beats one wasted chunk + a strip-layout error (round-5 review).
+        if state.spp_chunk and state.spp_chunk != spp_chunk:
+            raise ValueError(
+                f"checkpoint was written with spp_chunk="
+                f"{state.spp_chunk}, resume requested {spp_chunk} — "
+                "sample-exact resume requires the same chunking")
+        if state.tile_size and state.tile_size != tile_size:
+            raise ValueError(
+                f"checkpoint was written with tile_size="
+                f"{state.tile_size}, resume requested {tile_size}")
+    if jax.process_count() > 1:
+        # Cross-host agreement on samples_done (round-5 review): a job
+        # killed between one host's chunk save and another's — or a lost
+        # .pNNNNN file — leaves skewed counts; without this check the
+        # first sharded render would run with MISMATCHED sample_offsets
+        # (silently double-accumulating on the ahead host) and then hang
+        # in a collective the other host never joins. Fail loudly with
+        # the counts instead; the fix is deleting the ahead host's file
+        # (its extra chunk cannot be subtracted).
+        from jax.experimental import multihost_utils
+        done0 = 0 if state is None else state.samples_done
+        all_done = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([done0], jnp.int32))).reshape(-1)
+        if not (all_done == all_done[0]).all():
+            raise ValueError(
+                "per-process checkpoints disagree on samples_done: "
+                f"{all_done.tolist()} — delete the ahead process's "
+                "checkpoint file(s) down to the minimum and re-resume")
 
     if timer is None:
         timer = PhaseTimer()
@@ -306,7 +343,7 @@ def render_checkpointed_sharded(scene: Scene, cam: Camera, image_width: int,
                                       "error": repr(e)[:200]}), flush=True)
         if state is None:
             state = StripState(np.zeros((stop - start, 3)), start, stop,
-                               0, W, H, seed)
+                               0, W, H, seed, spp_chunk, tile_size)
         elif (start, stop) != (state.start, state.stop):
             raise ValueError(
                 f"strip layout changed across chunks/resume: checkpoint "
@@ -318,6 +355,13 @@ def render_checkpointed_sharded(scene: Scene, cam: Camera, image_width: int,
             timer.start("checkpoint")
             save_strip_state(state, ckpt)
             timer.stop("checkpoint")
+            if jax.process_count() > 1:
+                # Barrier after every save: bounds cross-host checkpoint
+                # skew to the (tiny) save-to-barrier window instead of a
+                # whole chunk.
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(
+                    f"rtw_ckpt_chunk_{state.samples_done}")
         if progress:
             print(json.dumps({"samples_done": state.samples_done,
                               "strip": [state.start, state.stop],

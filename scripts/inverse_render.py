@@ -198,6 +198,7 @@ def main() -> None:
 
     ekw = dict(sigma=args.edge_sigma, sigma_px=args.edge_sigma_px,
                edge_bounces=args.edge_bounces)
+    fit_tkw = None if args.geom == "edge" else tkw
     if args.edge_chunk:
         ekw["pixel_chunk"] = args.edge_chunk
     if args.edge_remat:
@@ -209,7 +210,8 @@ def main() -> None:
                              seed=args.seed, lr_albedo=args.lr,
                              lr_center=args.lr_center, lr_fuzz=args.lr_fuzz,
                              spsa_c=args.spsa_c,
-                             spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                             spsa_pairs=args.spsa_pairs,
+                             render_kwargs=fit_tkw,
                              geom=args.geom, edge_kwargs=ekw,
                              cosine_decay=args.cosine_decay)
         lf.write("\n".join(json.dumps({"step": i, "loss": l})
@@ -219,7 +221,8 @@ def main() -> None:
                         seed=args.seed, lr_albedo=args.lr,
                         lr_center=args.lr_center, lr_fuzz=args.lr_fuzz,
                         spsa_c=args.spsa_c,
-                        spsa_pairs=args.spsa_pairs, render_kwargs=tkw,
+                        spsa_pairs=args.spsa_pairs,
+                        render_kwargs=fit_tkw,
                         geom=args.geom, edge_kwargs=ekw,
                         cosine_decay=args.cosine_decay,
                         on_step=on_step)
@@ -259,7 +262,6 @@ def main() -> None:
     # information-limited by how many pixels (and band samples) a sphere
     # gets; reporting by class separates "estimator works" from "10-px
     # spheres are under-determined at this budget".
-    import jax.numpy as _jnp
     from raytracingweekend_jl_tpu.ops.edge import pixel_angle as _pix_angle
     from raytracingweekend_jl_tpu.ops.intersect import intersect_spheres
     from raytracingweekend_jl_tpu.camera import get_rays as _get_rays

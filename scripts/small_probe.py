@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--scan-k", type=int, default=16)
     args = ap.parse_args()
+    if args.scan_k < 2:
+        ap.error("--scan-k must be >= 2 (the device time is a K-vs-1 slope)")
     W = args.width
     H = W * 9 // 16
 
