@@ -118,3 +118,26 @@ def test_cli_mesh_spp_chunk_checkpoint_composes(tmp_path, monkeypatch):
     img_again = np.asarray(__import__("PIL.Image", fromlist=["Image"])
                            .open(out))
     np.testing.assert_array_equal(img_once, img_again)
+
+
+def test_sharded_checkpoint_rejects_changed_chunking(tmp_path):
+    """spp_chunk/tile_size are part of the bitwise-resume contract (chunk
+    offsets key the RNG; tiles key the strip layout) — resuming with
+    different values must fail UP FRONT, not after a wasted chunk."""
+    scene = rtw.ALL_SCENES["2_spheres"]()
+    cam = rtw.t_default_cam()
+    mesh = _mesh()
+    ck = str(tmp_path / "ck.npz")
+    render_checkpointed_sharded(scene, cam, W, 2, mesh=mesh, image_height=H,
+                                spp_chunk=2, tile_size=TILE, seed=5,
+                                checkpoint_path=ck)
+    with pytest.raises(ValueError, match="spp_chunk"):
+        render_checkpointed_sharded(scene, cam, W, 4, mesh=mesh,
+                                    image_height=H, spp_chunk=4,
+                                    tile_size=TILE, seed=5,
+                                    checkpoint_path=ck)
+    with pytest.raises(ValueError, match="tile_size"):
+        render_checkpointed_sharded(scene, cam, W, 4, mesh=mesh,
+                                    image_height=H, spp_chunk=2,
+                                    tile_size=128, seed=5,
+                                    checkpoint_path=ck)

@@ -232,3 +232,19 @@ def test_edge_signed_radius_hollow_glass():
     g = np.asarray(jax.grad(loss)(scene.center))
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_edge_misuse_raises():
+    """Loud-failure contracts from the round-5 review: remat without
+    effective chunking, and fit render_kwargs under geom='edge'."""
+    from raytracingweekend_jl_tpu.optimize import fit_scene
+    scene = _ground_scene()
+    cam = t_default_cam()
+    with pytest.raises(ValueError, match="remat_chunks"):
+        render_radiance_edge(scene, cam, 512, 1, image_height=512,
+                             seed=0, sigma=0.05, remat_chunks=True)
+    target = jnp.zeros((27, 48, 3))
+    with pytest.raises(ValueError, match="render_kwargs"):
+        fit_scene(scene, cam, target, 48, 1, steps=1, geom="edge",
+                  render_kwargs={"recorded": True},
+                  edge_kwargs=dict(sigma=0.05))
