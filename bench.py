@@ -108,7 +108,8 @@ def _attach_grad_headline(rec: dict) -> None:
                 # probes drop paths (biased) — excluded, as are env-knob
                 # control runs (labels carry a _dattrgroup/_replayfused/...
                 # suffix since round 4).
-                knob = ("dattr_group", "replay_fused", "persist_block_rows")
+                knob = ("dattr_group", "replay_fused", "persist_block_rows",
+                        "masked_block_rows")
                 if lbl.startswith("grad_step_") and "error" not in r \
                         and (lbl.endswith("_1920x1080x1")
                              or lbl.endswith("_1920x1080x4")) \
